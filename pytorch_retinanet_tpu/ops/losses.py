@@ -1,0 +1,153 @@
+"""RetinaNet training losses — batched, fixed-shape, fully fused under XLA.
+
+Rebuilds the reference's ``retinanet/losses.py`` without its per-image python
+loop (losses.py:126-135): the matcher, target encoding, sigmoid focal loss and
+smooth-L1 all run as one traced computation over ``[B, A]`` anchors, so XLA can
+fuse the elementwise work into a handful of kernels and keep everything on-chip.
+
+Semantics match the reference where it is faithful to the paper, with these
+documented corrections (the reference quirks are bugs, not features):
+
+  * Focal alpha follows the paper (arXiv:1708.02002): foreground weight ``alpha``
+    (0.25), background ``1 - alpha``. The reference applies it inverted
+    (losses.py:44 gives foreground 0.75).
+  * No ``+1`` is added to the raw logits (the reference's ``clas_pred + 1`` at
+    losses.py:84 uniformly shifts logits — a label-offset bookkeeping slip).
+  * The focal modulating factor ``(1 - p_t)^gamma`` participates in the gradient
+    (the reference detaches it, losses.py:42). This matches torchvision's
+    ``sigmoid_focal_loss`` and the paper's stated objective.
+
+Shared conventions with the reference:
+  * Class labels arrive in ``[1, num_classes]`` with 0 reserved for background
+    (losses.py:80-102); the one-hot target drops the background column.
+  * Both losses are normalized by ``clamp(num_foreground, 1)`` per image
+    (losses.py:108-109) and averaged over the batch (losses.py:138-140).
+  * Anchors matched into the ignore band contribute to neither loss.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    BBOX_REG_WEIGHTS,
+    FOCAL_LOSS_ALPHA,
+    FOCAL_LOSS_GAMMA,
+    IOU_THRESHOLDS_BACKGROUND,
+    IOU_THRESHOLDS_FOREGROUND,
+    SMOOTH_L1_LOSS_BETA,
+)
+from .boxes import encode_boxes
+from .matcher import match_anchors_batch
+
+Array = jnp.ndarray
+
+
+def smooth_l1_loss(pred: Array, target: Array, beta: float = SMOOTH_L1_LOSS_BETA) -> Array:
+    """Elementwise smooth-L1 (Huber) loss (reference: losses.py:19-27).
+
+    Returns the unreduced elementwise loss; callers mask and reduce.
+    """
+    n = jnp.abs(pred - target)
+    if beta < 1e-5:
+        return n
+    return jnp.where(n < beta, 0.5 * n * n / beta, n - 0.5 * beta)
+
+
+def sigmoid_focal_loss(
+    logits: Array,
+    targets: Array,
+    alpha: float = FOCAL_LOSS_ALPHA,
+    gamma: float = FOCAL_LOSS_GAMMA,
+) -> Array:
+    """Elementwise sigmoid focal loss, numerically stable, paper semantics.
+
+    FL(p_t) = -alpha_t * (1 - p_t)^gamma * log(p_t), computed from logits via a
+    stable BCE. Returns the unreduced elementwise loss.
+    """
+    # Stable BCE with logits: max(x,0) - x*t + log1p(exp(-|x|))
+    bce = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    p = jax.nn.sigmoid(logits)
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+    return alpha_t * jnp.power(1.0 - p_t, gamma) * bce
+
+
+def retinanet_loss(
+    cls_logits: Array,
+    box_deltas: Array,
+    anchors: Array,
+    gt_boxes: Array,
+    gt_labels: Array,
+    gt_valid: Array,
+    *,
+    num_classes: int,
+    fg_iou_thr: float = IOU_THRESHOLDS_FOREGROUND,
+    bg_iou_thr: float = IOU_THRESHOLDS_BACKGROUND,
+    alpha: float = FOCAL_LOSS_ALPHA,
+    gamma: float = FOCAL_LOSS_GAMMA,
+    beta: float = SMOOTH_L1_LOSS_BETA,
+    reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+) -> Dict[str, Array]:
+    """Full RetinaNet loss over a padded batch.
+
+    Args:
+      cls_logits: [B, A, C] raw class logits from the head.
+      box_deltas: [B, A, 4] raw regression activations.
+      anchors: [A, 4] XYXY anchors shared across the batch.
+      gt_boxes: [B, N, 4] XYXY ground truth, padded to static N.
+      gt_labels: [B, N] int labels in [1, num_classes] (0 = background slot).
+      gt_valid: [B, N] bool mask of real GT rows.
+
+    Returns:
+      {"classification_loss": scalar, "regression_loss": scalar} — same keys as
+      the reference (losses.py:143-144), each batch-averaged.
+    """
+    cls_logits = cls_logits.astype(jnp.float32)
+    box_deltas = box_deltas.astype(jnp.float32)
+    gt_boxes = gt_boxes.astype(jnp.float32)
+    batch = cls_logits.shape[0]
+
+    matches, _ = match_anchors_batch(
+        anchors, gt_boxes, gt_valid, fg_iou_thr, bg_iou_thr
+    )  # [B, A]
+
+    fg_mask = matches >= 0  # [B, A]
+    num_fg = jnp.sum(fg_mask, axis=1)  # [B]
+    norm = jnp.maximum(num_fg.astype(jnp.float32), 1.0)  # [B]
+
+    # ---- Regression: smooth-L1 on encoded deltas of foreground anchors ---- #
+    safe_idx = jnp.maximum(matches, 0)  # [B, A]
+    matched_boxes = jnp.take_along_axis(gt_boxes, safe_idx[..., None], axis=1)  # [B, A, 4]
+    reg_targets = encode_boxes(matched_boxes, anchors[None], reg_weights)  # [B, A, 4]
+    reg_elem = smooth_l1_loss(box_deltas, reg_targets, beta)  # [B, A, 4]
+    reg_per_image = jnp.sum(
+        jnp.sum(reg_elem, axis=-1) * fg_mask.astype(jnp.float32), axis=1
+    )  # [B]
+    regression_loss = jnp.mean(reg_per_image / norm)
+
+    # ---- Classification: focal loss on non-ignored anchors ---- #
+    # Foreground anchors get one-hot(label - 1) over C classes; background all-zero.
+    matched_labels = jnp.take_along_axis(gt_labels, safe_idx, axis=1)  # [B, A]
+    fg_labels = jnp.where(fg_mask, matched_labels, 0)  # 0 => background row
+    # one_hot over C+1 then drop column 0 (reference losses.py:96-102).
+    cls_targets = _one_hot(fg_labels, num_classes + 1)[..., 1:]  # [B, A, C]
+    cls_elem = sigmoid_focal_loss(cls_logits, cls_targets, alpha, gamma)  # [B, A, C]
+    not_ignored = (matches >= -1).astype(jnp.float32)  # [B, A]
+    cls_per_image = jnp.sum(jnp.sum(cls_elem, axis=-1) * not_ignored, axis=1)  # [B]
+    classification_loss = jnp.mean(cls_per_image / norm)
+
+    return {
+        "classification_loss": classification_loss,
+        "regression_loss": regression_loss,
+    }
+
+
+def _one_hot(x: Array, num_classes: int) -> Array:
+    """One-hot via comparison — avoids int gather, fuses cleanly on the VPU."""
+    return (x[..., None] == jnp.arange(num_classes, dtype=x.dtype)).astype(jnp.float32)

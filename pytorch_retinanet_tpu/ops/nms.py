@@ -1,0 +1,166 @@
+"""Static-shape on-device NMS and detection postprocessing.
+
+Replaces the reference's inference postprocess (``retinanet/models.py:160-243``),
+which loops in python per image and per class, calling torchvision's C++/CUDA
+``nms`` once per class (models.py:210) with device round-trips for every boolean
+index. Here the whole path — sigmoid, top-k candidate selection, box decode,
+clip, class-aware NMS, final top-k — is one fused XLA computation with fixed
+shapes, vmapped over the batch. Host transfer happens once, for the final padded
+detections.
+
+Algorithm notes:
+  * Candidate pre-selection: top ``pre_nms_top_k`` scores over the flattened
+    [A x C] score matrix (the reference NMS-es every anchor above 0.05 per class;
+    torchvision's RetinaNet uses the same top-k trick — 1000 candidates — and the
+    mAP impact is nil because NMS keeps <= 100 anyway). Deviation documented.
+  * Class-aware NMS via the class-offset trick: boxes are translated by
+    ``class_id * (max_coordinate + 1)`` so boxes of different classes never
+    overlap, collapsing the reference's per-class python loop (models.py:193-219)
+    into ONE suppression over the candidate set.
+  * Greedy NMS as a fixpoint: keep[j] = valid[j] and no higher-scoring kept box
+    overlaps it above the threshold. Iterating that map from keep=valid converges
+    to exactly the sequential-greedy solution in (suppression-chain-depth)
+    iterations — typically < 10 — each iteration a [K, K] mask reduction that the
+    VPU eats whole. This keeps the op data-parallel instead of a K-step scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    BBOX_REG_WEIGHTS,
+    MAX_DETECTIONS_PER_IMAGE,
+    NMS_THRES,
+    PRE_NMS_TOP_K,
+    SCORE_THRES,
+)
+from .boxes import box_iou, clip_boxes, decode_boxes, small_box_mask
+
+Array = jnp.ndarray
+
+
+def nms_keep_mask(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float = NMS_THRES,
+    valid: Array | None = None,
+) -> Array:
+    """Greedy hard-NMS keep mask over score-descending candidates.
+
+    Args:
+      boxes: [K, 4] XYXY, already sorted by score descending (ties broken by
+        index, matching torch's stable sort).
+      scores: [K] descending scores (only used to assert ordering semantics).
+      iou_threshold: suppress j if IoU(i, j) > threshold for a kept i with i < j
+        (strict >, matching torchvision::nms).
+      valid: [K] bool — candidates to consider at all.
+
+    Returns:
+      [K] bool keep mask, identical to sequential greedy NMS.
+    """
+    k = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((k,), dtype=bool)
+    iou = box_iou(boxes, boxes)  # [K, K]
+    idx = jnp.arange(k)
+    # suppress[i, j]: i (higher score) can suppress j.
+    suppress = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
+    suppress = suppress & valid[:, None] & valid[None, :]
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(suppress & keep[:, None], axis=0)  # [K]
+        return valid & ~suppressed, keep, it + 1
+
+    init = (valid, jnp.zeros_like(valid), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
+
+
+class Detections(NamedTuple):
+    """Padded, fixed-shape detections for one image (or batch with leading dim).
+
+    Matches the reference's per-image dict {"boxes", "scores", "labels"}
+    (models.py:242) plus an explicit validity mask (the TPU substitute for the
+    reference's dynamic-length outputs).
+    """
+
+    boxes: Array  # [..., D, 4] XYXY
+    scores: Array  # [..., D]
+    labels: Array  # [..., D] int32 in [1, num_classes]
+    valid: Array  # [..., D] bool
+
+
+def process_detections(
+    cls_logits: Array,
+    box_deltas: Array,
+    anchors: Array,
+    image_size: Array,
+    *,
+    score_thres: float = SCORE_THRES,
+    nms_thres: float = NMS_THRES,
+    max_detections: int = MAX_DETECTIONS_PER_IMAGE,
+    pre_nms_top_k: int = PRE_NMS_TOP_K,
+    reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+    max_coordinate: float = 4096.0,
+) -> Detections:
+    """Fused postprocess for ONE image (vmap for a batch).
+
+    Args:
+      cls_logits: [A, C] raw class logits.
+      box_deltas: [A, 4] raw box activations.
+      anchors: [A, 4] XYXY anchors.
+      image_size: (2,) (height, width) of the *resized, unpadded* image — boxes
+        are clipped to it (reference models.py:189 clips to im_sz).
+      max_coordinate: static upper bound on any box coordinate, used for the
+        class-offset translation. Must exceed the largest padded image side.
+
+    Returns fixed-shape :class:`Detections` with `max_detections` slots; labels
+    are shifted +1 (background=0 convention, reference models.py:230).
+    """
+    num_anchors, num_classes = cls_logits.shape
+    k = min(pre_nms_top_k, num_anchors * num_classes)
+
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))  # [A, C]
+    top_scores, top_idx = jax.lax.top_k(scores.reshape(-1), k)  # descending
+    anchor_idx = top_idx // num_classes
+    class_idx = (top_idx % num_classes).astype(jnp.int32)
+
+    boxes = decode_boxes(
+        box_deltas.astype(jnp.float32)[anchor_idx], anchors[anchor_idx], reg_weights
+    )  # [k, 4]
+    boxes = clip_boxes(boxes, image_size)
+
+    valid = (top_scores > score_thres) & small_box_mask(boxes)  # models.py:196,203
+
+    offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
+    keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
+
+    sel_scores = jnp.where(keep, top_scores, -1.0)
+    det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)
+    det_valid = det_scores > 0.0
+    det_boxes = jnp.where(det_valid[:, None], boxes[det_idx], 0.0)
+    det_labels = jnp.where(det_valid, class_idx[det_idx] + 1, 0)
+    det_scores = jnp.maximum(det_scores, 0.0)
+    return Detections(det_boxes, det_scores, det_labels, det_valid)
+
+
+def process_detections_batch(
+    cls_logits: Array,
+    box_deltas: Array,
+    anchors: Array,
+    image_sizes: Array,
+    **kwargs,
+) -> Detections:
+    """Batched postprocess: [B, A, C] logits, [B, 2] per-image resized sizes."""
+    return jax.vmap(
+        lambda c, b, s: process_detections(c, b, anchors, s, **kwargs)
+    )(cls_logits, box_deltas, image_sizes)

@@ -1,0 +1,25 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; JAX's host-platform device
+count gives us an 8-device mesh on CPU so sharding/collective paths are
+exercised exactly as they would compile on a real pod slice (SURVEY.md §4).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
