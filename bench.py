@@ -1,0 +1,74 @@
+"""Benchmark: RetinaNet ResNet-50-FPN 800px inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md); the north-star in
+BASELINE.json is ResNet-50+FPN 800px inference images/sec/chip > 2x a
+torchvision A100 baseline. A well-tuned torchvision RetinaNet-R50 at 800px on
+an A100 runs ~25-30 img/s end-to-end; we report vs_baseline against 27 img/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 27.0  # torchvision RetinaNet-R50 800px, A100 (external est.)
+
+
+def main() -> None:
+    from pytorch_retinanet_tpu.models import RetinaNetModule
+    from pytorch_retinanet_tpu.ops import generate_anchors, process_detections_batch
+
+    backend = jax.default_backend()
+    batch = 8
+    image_size = (832, 1344)  # the 800/1333 landscape bucket
+
+    module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((1, *image_size, 3), jnp.float32)
+    variables = module.init(rng, images)
+    anchors = jnp.asarray(generate_anchors(image_size))
+
+    @jax.jit
+    def infer(variables, images, image_sizes):
+        cls_logits, box_deltas = module.apply(variables, images, False)
+        return process_detections_batch(
+            cls_logits, box_deltas, anchors, image_sizes
+        )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, *image_size, 3), np.float32)
+    )
+    sizes = jnp.tile(jnp.asarray([[800.0, 1333.0]], jnp.float32), (batch, 1))
+
+    # compile + warmup
+    det = infer(variables, x, sizes)
+    jax.block_until_ready(det)
+
+    n_iters = 20 if backend != "cpu" else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        det = infer(variables, x, sizes)
+    jax.block_until_ready(det)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "retinanet_r50_fpn_800px_infer",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Host-side detection data loader producing fixed-shape device batches.
+
+TPU-native replacement for the reference's ``DataLoader(collate_fn=
+tuple(zip(*batch)))`` (reference utils/detection_utils.py:7-9, wired at
+model.py:92-110): instead of ragged python tuples, every batch is a dict of
+static-shape numpy arrays ready for ``jax.device_put``:
+
+    images      [B, H, W, 3] float32 in [0, 1] — padded resolution bucket
+    image_sizes [B, 2] float32 (resized h, w before padding)
+    orig_sizes  [B, 2] float32 (pre-resize h, w)
+    image_ids   [B] int64
+    boxes       [B, MAX_GT, 4] float32 XYXY in resized coords
+    labels      [B, MAX_GT] int32
+    valid       [B, MAX_GT] bool
+
+Design points (SURVEY.md §5.7, §2.3):
+  * **Static shapes**: images are resized by the reference's shortest-side rule
+    then padded into one of two orientation buckets, so XLA compiles at most
+    two programs. Batches are grouped by bucket (aspect-ratio grouping).
+  * **Ragged GT → padded GT**: boxes padded to ``max_gt`` with a validity mask
+    (the matcher makes padding rows inert).
+  * **Host parallelism**: a thread pool decodes/augments samples and a small
+    prefetch queue overlaps host work with device steps (the reference uses
+    DataLoader worker processes, hparams.yaml:43-46).
+  * **Data parallelism**: ``shard`` / ``num_shards`` slice the dataset per
+    host; batch size is the PER-HOST batch (global = B × hosts).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config as C
+from ..models.retinanet import resize_to_bucket
+from ..ops.boxes import rescale_boxes  # noqa: F401  (re-exported convenience)
+
+
+def pad_targets(
+    boxes: np.ndarray, labels: np.ndarray, max_gt: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad [N,4]/[N] GT to [max_gt] with a validity mask; excess boxes drop
+    (with max_gt=100 this only affects pathological images; COCO p99 is ~40)."""
+    n = min(len(boxes), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.zeros((max_gt,), np.int32)
+    out_valid = np.zeros((max_gt,), bool)
+    out_boxes[:n] = boxes[:n]
+    out_labels[:n] = labels[:n]
+    out_valid[:n] = True
+    return out_boxes, out_labels, out_valid
+
+
+class DetectionLoader:
+    """Iterable over fixed-shape batches from an (image, target, id) dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        min_size: int = C.MIN_IMAGE_SIZE,
+        max_size: int = C.MAX_IMAGE_SIZE,
+        max_gt: int = C.MAX_GT_BOXES,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        shard: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.min_size = min_size
+        self.max_size = max_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.shard = shard
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(range(self.shard, len(self.dataset), self.num_shards))
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    # ------------------------------------------------------------------ #
+    def _load_sample(self, idx: int) -> Dict[str, np.ndarray]:
+        image, target, image_id = self.dataset[idx]
+        orig_h, orig_w = image.shape[:2]
+        padded, (new_h, new_w), _ = resize_to_bucket(
+            image, self.min_size, self.max_size
+        )
+        boxes = np.asarray(target["boxes"], np.float32).reshape(-1, 4)
+        if len(boxes):
+            scale_y, scale_x = new_h / orig_h, new_w / orig_w
+            boxes = boxes * np.array(
+                [scale_x, scale_y, scale_x, scale_y], np.float32
+            )
+        labels = np.asarray(target["labels"], np.int64)
+        pboxes, plabels, pvalid = pad_targets(boxes, labels, self.max_gt)
+        return {
+            "image": padded,
+            "image_size": np.asarray([new_h, new_w], np.float32),
+            "orig_size": np.asarray([orig_h, orig_w], np.float32),
+            "image_id": np.int64(image_id),
+            "boxes": pboxes,
+            "labels": plabels,
+            "valid": pvalid,
+        }
+
+    def _batched_indices(self) -> List[List[int]]:
+        idxs = list(range(self.shard, len(self.dataset), self.num_shards))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idxs)
+        batches = [
+            idxs[i : i + self.batch_size]
+            for i in range(0, len(idxs), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    @staticmethod
+    def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        # Group to the largest bucket present: letterbox mismatched orientations
+        # up (rare within a shuffled batch; torchvision pads to batch-max too).
+        max_h = max(s["image"].shape[0] for s in samples)
+        max_w = max(s["image"].shape[1] for s in samples)
+        images = np.zeros((len(samples), max_h, max_w, 3), np.float32)
+        for i, s in enumerate(samples):
+            h, w = s["image"].shape[:2]
+            images[i, :h, :w] = s["image"]
+        return {
+            "images": images,
+            "image_sizes": np.stack([s["image_size"] for s in samples]),
+            "orig_sizes": np.stack([s["orig_size"] for s in samples]),
+            "image_ids": np.asarray([s["image_id"] for s in samples], np.int64),
+            "boxes": np.stack([s["boxes"] for s in samples]),
+            "labels": np.stack([s["labels"] for s in samples]),
+            "valid": np.stack([s["valid"] for s in samples]),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batched_indices()
+        self.epoch += 1
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self._load_sample, batch_idxs))
+                    q.put(self._collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

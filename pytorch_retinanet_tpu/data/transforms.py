@@ -1,0 +1,207 @@
+"""Host-side image augmentation with bounding-box tracking.
+
+Native replacement for the reference's albumentations dependency
+(``utils/pascal/pascal_transforms.py:7-18``; config-driven instantiation at
+``model.py:50-60``). The reference composes albumentations transforms named by
+dotted path in ``hparams.yaml`` (e.g. ``albumentations.HorizontalFlip``); this
+module implements the transforms detection training actually uses, with the
+same names and parameter spellings, so reference YAML configs keep working —
+``albumentations.X`` strings resolve to the classes here (see
+:func:`build_transforms`).
+
+All transforms are pure host-side numpy/cv2: augmentation runs in data-loader
+threads, never on the TPU. Every transform takes and returns
+``(image HWC float32 [0,1], boxes [N,4] XYXY float32, labels [N] int64)``.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Sample = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+class Transform:
+    """Base class: callable on (image, boxes, labels)."""
+
+    def __call__(self, image, boxes, labels) -> Sample:  # pragma: no cover
+        raise NotImplementedError
+
+
+class Compose(Transform):
+    def __init__(self, transforms: Sequence[Transform]):
+        self.transforms = list(transforms)
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        for t in self.transforms:
+            image, boxes, labels = t(image, boxes, labels)
+        return image, boxes, labels
+
+
+class HorizontalFlip(Transform):
+    """Mirror left-right, flipping box x-coordinates (reference flips via
+    albumentations / coco_transforms.py:22-37)."""
+
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            w = image.shape[1]
+            image = np.ascontiguousarray(image[:, ::-1])
+            if len(boxes):
+                boxes = boxes.copy()
+                boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+        return image, boxes, labels
+
+
+class VerticalFlip(Transform):
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            h = image.shape[0]
+            image = np.ascontiguousarray(image[::-1])
+            if len(boxes):
+                boxes = boxes.copy()
+                boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+        return image, boxes, labels
+
+
+class RandomBrightnessContrast(Transform):
+    """out = clip((x - 0.5) * (1 + contrast) + 0.5 + brightness)."""
+
+    def __init__(
+        self, brightness_limit: float = 0.2, contrast_limit: float = 0.2, p: float = 0.5
+    ):
+        self.brightness_limit = brightness_limit
+        self.contrast_limit = contrast_limit
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            b = random.uniform(-self.brightness_limit, self.brightness_limit)
+            c = random.uniform(-self.contrast_limit, self.contrast_limit)
+            image = np.clip((image - 0.5) * (1.0 + c) + 0.5 + b, 0.0, 1.0).astype(
+                np.float32
+            )
+        return image, boxes, labels
+
+
+class ShiftScaleRotate(Transform):
+    """Affine jitter (shift + scale; rotation limited to 0 by default for boxes).
+
+    Box-safe subset of albumentations.ShiftScaleRotate: boxes are transformed
+    through the affine and clipped; fully-out-of-frame boxes are dropped.
+    """
+
+    def __init__(
+        self,
+        shift_limit: float = 0.0625,
+        scale_limit: float = 0.1,
+        rotate_limit: float = 0.0,
+        p: float = 0.5,
+    ):
+        self.shift_limit = shift_limit
+        self.scale_limit = scale_limit
+        self.rotate_limit = rotate_limit
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() >= self.p:
+            return image, boxes, labels
+        import cv2
+
+        h, w = image.shape[:2]
+        scale = 1.0 + random.uniform(-self.scale_limit, self.scale_limit)
+        dx = random.uniform(-self.shift_limit, self.shift_limit) * w
+        dy = random.uniform(-self.shift_limit, self.shift_limit) * h
+        angle = random.uniform(-self.rotate_limit, self.rotate_limit)
+        m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, scale)
+        m[:, 2] += (dx, dy)
+        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR)
+        if len(boxes):
+            corners = np.concatenate(
+                [
+                    boxes[:, [0, 1]],
+                    boxes[:, [2, 1]],
+                    boxes[:, [0, 3]],
+                    boxes[:, [2, 3]],
+                ],
+                axis=0,
+            )  # [4N, 2]
+            ones = np.ones((corners.shape[0], 1), np.float32)
+            warped = (np.concatenate([corners, ones], 1) @ m.T).reshape(4, -1, 2)
+            new = np.stack(
+                [
+                    warped[..., 0].min(0),
+                    warped[..., 1].min(0),
+                    warped[..., 0].max(0),
+                    warped[..., 1].max(0),
+                ],
+                axis=1,
+            ).astype(np.float32)
+            new[:, [0, 2]] = np.clip(new[:, [0, 2]], 0, w)
+            new[:, [1, 3]] = np.clip(new[:, [1, 3]], 0, h)
+            keep = (new[:, 2] - new[:, 0] > 1) & (new[:, 3] - new[:, 1] > 1)
+            boxes, labels = new[keep], labels[keep]
+        return image, boxes, labels
+
+
+class ToFloat(Transform):
+    """uint8 [0,255] → float32 [0,1] (albumentations.ToFloat parity; appended
+    automatically by the reference's compose, pascal_transforms.py:12-13)."""
+
+    def __init__(self, max_value: float = 255.0):
+        self.max_value = max_value
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / self.max_value
+        return image.astype(np.float32), boxes, labels
+
+
+# Registry keyed by BOTH our native names and the albumentations dotted paths
+# the reference's hparams.yaml uses (hparams.yaml:48-62).
+TRANSFORM_REGISTRY: Dict[str, type] = {}
+for _cls in (
+    Compose,
+    HorizontalFlip,
+    VerticalFlip,
+    RandomBrightnessContrast,
+    ShiftScaleRotate,
+    ToFloat,
+):
+    TRANSFORM_REGISTRY[_cls.__name__] = _cls
+    TRANSFORM_REGISTRY[f"albumentations.{_cls.__name__}"] = _cls
+    TRANSFORM_REGISTRY[f"pytorch_retinanet_tpu.data.transforms.{_cls.__name__}"] = _cls
+
+
+def build_transforms(
+    specs: Optional[Sequence[Any]], extra: Optional[Sequence[Transform]] = None
+) -> Compose:
+    """Instantiate a transform pipeline from config dicts.
+
+    Each spec is ``{"class_name": str, "params": {...}}`` — the reference's
+    config shape (hparams.yaml:48-62, applied through load_obj at
+    model.py:50-60). Unknown class names raise (registry-based resolution
+    replaces the reference's arbitrary dotted-path import).
+    """
+    transforms: List[Transform] = []
+    for spec in specs or []:
+        name = spec["class_name"]
+        if name not in TRANSFORM_REGISTRY:
+            raise KeyError(
+                f"unknown transform {name!r}; available: "
+                f"{sorted(k for k in TRANSFORM_REGISTRY if '.' not in k)}"
+            )
+        params = dict(spec.get("params") or {})
+        transforms.append(TRANSFORM_REGISTRY[name](**params))
+    transforms.append(ToFloat())
+    for t in extra or []:
+        transforms.append(t)
+    return Compose(transforms)

@@ -1,0 +1,25 @@
+"""Training/eval harness: Trainer, task module, optimizers, callbacks."""
+
+from .callbacks import Callback, EarlyStopping, LearningRateMonitor, ModelCheckpoint
+from .model import RetinaNetModel
+from .optim import (
+    OPTIMIZER_REGISTRY,
+    SCHEDULER_REGISTRY,
+    build_optimizer,
+    build_scheduler,
+)
+from .trainer import Trainer, TrainState
+
+__all__ = [
+    "Callback",
+    "EarlyStopping",
+    "LearningRateMonitor",
+    "ModelCheckpoint",
+    "OPTIMIZER_REGISTRY",
+    "RetinaNetModel",
+    "SCHEDULER_REGISTRY",
+    "Trainer",
+    "TrainState",
+    "build_optimizer",
+    "build_scheduler",
+]

@@ -1,0 +1,159 @@
+"""RetinaNetModel — the config-driven task module the Trainer consumes.
+
+Parity rebuild of the reference's LightningModule (``model.py:18-147``): takes
+an OmegaConf-style config, builds the detector, materializes datasets per
+``dataset.kind ∈ {coco, pascal, csv}`` (reference ``prepare_data``,
+model.py:37-74), exposes dataloaders (model.py:92-110) and the
+optimizer/scheduler pair (``configure_optimizers``, model.py:76-90).
+
+Unlike the reference, the step functions themselves live in the Trainer as one
+jitted SPMD program (SURVEY.md §7.6) — this class supplies the pure pieces:
+``loss_fn`` / ``predict_fn`` over explicit variables, so the trainer can
+jit/donate them.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+from .. import config as C
+from ..config import ConfigDict
+from ..data.coco import CocoDetectionDataset, get_coco, get_coco_api_from_dataset
+from ..data.loader import DetectionLoader
+from ..data.pascal import PascalDataset, get_pascal
+from ..data.transforms import build_transforms
+from ..eval.coco_eval import CocoEvaluator
+from ..models.retinanet import Retinanet
+from .optim import LRScheduler, build_optimizer, build_scheduler
+
+logger = logging.getLogger(__name__)
+
+
+class RetinaNetModel:
+    """Config-driven detection task (reference RetinaNetModel, model.py:18)."""
+
+    def __init__(self, hparams: ConfigDict):
+        self.hparams = hparams
+        model_conf = dict(hparams.model or {})
+        self.net = Retinanet(**model_conf)
+        self.trn_ds = None
+        self.val_ds = None
+        self.test_ds = None
+
+    # ------------------------------------------------------------------ #
+    # Data (reference model.py:37-74)
+    # ------------------------------------------------------------------ #
+    def prepare_data(self) -> None:
+        conf = self.hparams
+        kind = (conf.dataset or {}).get("kind")
+        if not kind:
+            raise ValueError("hparams.dataset.kind must be one of coco/pascal/csv")
+        trn_tfms = build_transforms(conf.transforms)
+        if kind == "coco":
+            root = conf.dataset.root_dir
+            self.trn_ds = get_coco(root, "train", trn_tfms)
+            self.val_ds = get_coco(root, "val", build_transforms(None))
+            self.test_ds = self.val_ds
+        elif kind == "pascal":
+            # trn/valid/test_paths are (annotation_dir, image_dir) pairs
+            # (reference model.py:54-61).
+            trn_paths = list(conf.dataset.trn_paths)
+            self.trn_ds, _ = get_pascal(trn_paths[0], trn_paths[1], "train", trn_tfms)
+            if conf.dataset.valid_paths:
+                val_paths = list(conf.dataset.valid_paths)
+                self.val_ds, _ = get_pascal(
+                    val_paths[0], val_paths[1], "valid", build_transforms(None)
+                )
+            else:
+                self.val_ds = None  # optional, like reference model.py:55-58
+            test_paths = list(conf.dataset.test_paths)
+            self.test_ds, _ = get_pascal(
+                test_paths[0], test_paths[1], "test", build_transforms(None)
+            )
+        elif kind == "csv":
+            self.trn_ds = PascalDataset(conf.dataset.trn_paths, trn_tfms)
+            self.val_ds = (
+                PascalDataset(conf.dataset.valid_paths, build_transforms(None))
+                if conf.dataset.valid_paths
+                else None
+            )
+            self.test_ds = PascalDataset(conf.dataset.test_paths, build_transforms(None))
+        else:
+            raise ValueError(f"unknown dataset.kind {kind!r}")
+
+    def _loader_args(self) -> Dict[str, Any]:
+        args = dict((self.hparams.dataloader or {}).get("args") or {})
+        return {
+            "min_size": self.net.min_size,
+            "max_size": self.net.max_size,
+            "num_workers": int(args.get("num_workers", 4) or 4),
+            "prefetch": int(args.get("prefetch", 2) or 2),
+        }
+
+    def train_dataloader(self, shard: int = 0, num_shards: int = 1) -> DetectionLoader:
+        if self.trn_ds is None:
+            self.prepare_data()
+        return DetectionLoader(
+            self.trn_ds,
+            int(self.hparams.dataloader.train_bs),
+            shuffle=True,
+            drop_last=True,
+            shard=shard,
+            num_shards=num_shards,
+            **self._loader_args(),
+        )
+
+    def val_dataloader(
+        self, shard: int = 0, num_shards: int = 1
+    ) -> Optional[DetectionLoader]:
+        if self.trn_ds is None:
+            self.prepare_data()
+        if self.val_ds is None:  # optional validation set (reference model.py:100-103)
+            return None
+        return DetectionLoader(
+            self.val_ds,
+            int(self.hparams.dataloader.valid_bs),
+            shard=shard,
+            num_shards=num_shards,
+            **self._loader_args(),
+        )
+
+    def test_dataloader(self, shard: int = 0, num_shards: int = 1) -> DetectionLoader:
+        if self.test_ds is None:
+            self.prepare_data()
+        return DetectionLoader(
+            self.test_ds,
+            int(self.hparams.dataloader.test_bs),
+            shard=shard,
+            num_shards=num_shards,
+            **self._loader_args(),
+        )
+
+    def test_evaluator(self) -> CocoEvaluator:
+        """CocoEvaluator over the test dataset's COCO GT (reference
+        test_dataloader building CocoEvaluator, model.py:105-110)."""
+        if self.test_ds is None:
+            self.prepare_data()
+        return CocoEvaluator(get_coco_api_from_dataset(self.test_ds), ["bbox"])
+
+    # ------------------------------------------------------------------ #
+    # Optimization (reference model.py:76-90)
+    # ------------------------------------------------------------------ #
+    def configure_optimizers(self) -> Tuple[Any, LRScheduler, Dict[str, Any]]:
+        opt_conf = self.hparams.optimizer or ConfigDict(
+            {"class_name": "torch.optim.SGD", "params": {"lr": 1e-3}}
+        )
+        optimizer = build_optimizer(opt_conf.class_name, opt_conf.get("params"))
+        sched_conf = self.hparams.scheduler or ConfigDict({})
+        base_lr = float((opt_conf.get("params") or {}).get("lr", 1e-3))
+        scheduler = build_scheduler(
+            sched_conf.get("class_name"), base_lr, sched_conf.get("params")
+        )
+        sched_meta = {
+            "interval": sched_conf.get("interval") or "epoch",
+            "frequency": int(sched_conf.get("frequency") or 1),
+            "monitor": sched_conf.get("monitor") or None,
+        }
+        return optimizer, scheduler, sched_meta

@@ -1,0 +1,253 @@
+"""Optimizer + LR-scheduler registry: torch config names → optax.
+
+The reference instantiates optimizers and schedulers by dotted torch path from
+YAML (``hparams.yaml:63-82`` via ``load_obj`` at ``model.py:76-90``), e.g.
+``torch.optim.SGD`` / ``torch.optim.lr_scheduler.ReduceLROnPlateau``. This
+module keeps that exact config surface but resolves the names through a
+registry onto optax transforms (SURVEY.md §2.2) — no arbitrary imports.
+
+The learning rate is injected as a mutable hyperparameter
+(``optax.inject_hyperparams``) so host-side scheduler objects — including the
+stateful ReduceLROnPlateau, which depends on a monitored metric — can set it
+between steps without recompiling the train step.
+
+Scheduler stepping semantics mirror the reference's Lightning config
+(``interval`` ∈ {"epoch", "step"}, ``frequency``, ``monitor`` —
+``model.py:85-90``): the Trainer calls :meth:`LRScheduler.step` at that
+cadence and writes the returned LR into the optimizer state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence
+
+import optax
+
+
+# --------------------------------------------------------------------------- #
+# Optimizers
+# --------------------------------------------------------------------------- #
+def _sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
+         nesterov: bool = False, dampening: float = 0.0) -> optax.GradientTransformation:
+    txs = []
+    if weight_decay:
+        # torch SGD couples weight decay into the gradient (L2), pre-momentum.
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(
+        optax.sgd(lr, momentum=momentum or None, nesterov=nesterov)
+    )
+    return optax.chain(*txs)
+
+
+def _adam(lr: float, betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0) -> optax.GradientTransformation:
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+def _adamw(lr: float, betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
+           weight_decay: float = 0.01) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+
+
+def _rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
+             momentum: float = 0.0, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    tx = optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum or None)
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+OPTIMIZER_REGISTRY: Dict[str, Callable[..., optax.GradientTransformation]] = {
+    "torch.optim.SGD": _sgd,
+    "torch.optim.Adam": _adam,
+    "torch.optim.AdamW": _adamw,
+    "torch.optim.RMSprop": _rmsprop,
+    "optax.sgd": _sgd,
+    "optax.adam": _adam,
+    "optax.adamw": _adamw,
+    "SGD": _sgd,
+    "Adam": _adam,
+    "AdamW": _adamw,
+    "RMSprop": _rmsprop,
+}
+
+
+def build_optimizer(
+    class_name: str, params: Optional[Mapping[str, Any]] = None
+) -> optax.GradientTransformation:
+    """Resolve an optimizer config (``hparams.yaml:63-68`` shape) to an optax
+    transform with an injectable ``learning_rate`` hyperparameter."""
+    if class_name not in OPTIMIZER_REGISTRY:
+        raise KeyError(
+            f"unknown optimizer {class_name!r}; available: {sorted(OPTIMIZER_REGISTRY)}"
+        )
+    kwargs = dict(params or {})
+    lr = kwargs.pop("lr", kwargs.pop("learning_rate", 1e-3))
+    factory = OPTIMIZER_REGISTRY[class_name]
+
+    def make(learning_rate: float) -> optax.GradientTransformation:
+        return factory(learning_rate, **kwargs)
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Write a new LR into an inject_hyperparams optimizer state (host-side,
+    between steps — the hyperparams dict is part of the optimizer pytree)."""
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=getattr(cur, "dtype", jnp.float32)
+    )
+    return opt_state
+
+
+def current_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+# --------------------------------------------------------------------------- #
+# LR schedulers (torch.optim.lr_scheduler parity, host-side state)
+# --------------------------------------------------------------------------- #
+class LRScheduler:
+    """Base: produces an absolute LR from the step/epoch counter + metric."""
+
+    needs_metric = False
+
+    def __init__(self, base_lr: float):
+        self.base_lr = base_lr
+        self.t = 0
+
+    def step(self, metric: Optional[float] = None) -> float:
+        self.t += 1
+        return self.lr_at(self.t)
+
+    def lr_at(self, t: int) -> float:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ConstantLR(LRScheduler):
+    def lr_at(self, t: int) -> float:
+        return self.base_lr
+
+
+class CosineAnnealingLR(LRScheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingLR (used by the reference demo)."""
+
+    def __init__(self, base_lr: float, T_max: int, eta_min: float = 0.0):
+        super().__init__(base_lr)
+        self.T_max = T_max
+        self.eta_min = eta_min
+
+    def lr_at(self, t: int) -> float:
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * min(t, self.T_max) / self.T_max)
+        ) / 2
+
+
+class StepLR(LRScheduler):
+    def __init__(self, base_lr: float, step_size: int, gamma: float = 0.1):
+        super().__init__(base_lr)
+        self.step_size = step_size
+        self.gamma = gamma
+
+    def lr_at(self, t: int) -> float:
+        return self.base_lr * self.gamma ** (t // self.step_size)
+
+
+class MultiStepLR(LRScheduler):
+    def __init__(self, base_lr: float, milestones: Sequence[int], gamma: float = 0.1):
+        super().__init__(base_lr)
+        self.milestones = sorted(milestones)
+        self.gamma = gamma
+
+    def lr_at(self, t: int) -> float:
+        k = sum(1 for m in self.milestones if m <= t)
+        return self.base_lr * self.gamma**k
+
+
+class ReduceLROnPlateau(LRScheduler):
+    """torch.optim.lr_scheduler.ReduceLROnPlateau — the reference's default
+    scheduler (``hparams.yaml:70-82``), driven by the monitored metric."""
+
+    needs_metric = True
+
+    def __init__(
+        self,
+        base_lr: float,
+        mode: str = "min",
+        factor: float = 0.1,
+        patience: int = 10,
+        threshold: float = 1e-4,
+        min_lr: float = 0.0,
+        cooldown: int = 0,
+    ):
+        super().__init__(base_lr)
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.cooldown = cooldown
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+        self.cooldown_left = 0
+        self.lr = base_lr
+
+    def _improved(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return metric < self.best - self.threshold
+        return metric > self.best + self.threshold
+
+    def step(self, metric: Optional[float] = None) -> float:
+        self.t += 1
+        if metric is None:
+            return self.lr
+        if self._improved(metric):
+            self.best = metric
+            self.bad_epochs = 0
+        elif self.cooldown_left > 0:
+            self.cooldown_left -= 1
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+                self.cooldown_left = self.cooldown
+        return self.lr
+
+
+SCHEDULER_REGISTRY: Dict[str, type] = {}
+for _name, _cls in {
+    "CosineAnnealingLR": CosineAnnealingLR,
+    "StepLR": StepLR,
+    "MultiStepLR": MultiStepLR,
+    "ReduceLROnPlateau": ReduceLROnPlateau,
+    "ConstantLR": ConstantLR,
+}.items():
+    SCHEDULER_REGISTRY[_name] = _cls
+    SCHEDULER_REGISTRY[f"torch.optim.lr_scheduler.{_name}"] = _cls
+
+
+def build_scheduler(
+    class_name: Optional[str],
+    base_lr: float,
+    params: Optional[Mapping[str, Any]] = None,
+) -> LRScheduler:
+    """Resolve a scheduler config (``hparams.yaml:70-82`` shape)."""
+    if not class_name:
+        return ConstantLR(base_lr)
+    if class_name not in SCHEDULER_REGISTRY:
+        raise KeyError(
+            f"unknown scheduler {class_name!r}; available: {sorted(SCHEDULER_REGISTRY)}"
+        )
+    return SCHEDULER_REGISTRY[class_name](base_lr, **dict(params or {}))

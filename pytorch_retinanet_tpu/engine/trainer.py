@@ -1,0 +1,392 @@
+"""Trainer: jit-compiled SPMD train/eval loops, checkpoint/resume, COCO test.
+
+TPU-native replacement for ``pytorch_lightning.Trainer`` 1.0 as the reference
+uses it (``README.md:42-58``, demo notebook; SURVEY.md §2.2): epoch loop,
+optimizer stepping, scheduler intervals, validation, COCO-API test, callbacks,
+checkpointing — rebuilt around ONE jitted train step:
+
+* the whole step (forward → loss → grad → optimizer update) is a single XLA
+  program; parameters and optimizer state are donated so updates happen
+  in-place in HBM, and the loss math runs where the activations are (the
+  reference crosses the python/framework boundary multiple times per step).
+* data parallelism is the mesh: batches are sharded over the ``data`` axis,
+  parameters replicated, and XLA inserts the gradient all-reduce over ICI
+  (SURVEY.md §2.3, §5.8 — replacing torch DDP/NCCL).
+* AMP parity: the model already computes in bf16 (precision=16's TPU
+  equivalent) with f32 params/loss, so there is no GradScaler machinery.
+* checkpoints are orbax pytrees (SURVEY.md §5.4), saved per-epoch and
+  resumable with optimizer/scheduler/step intact.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.loader import DetectionLoader
+from ..ops import generate_anchors, process_detections_batch, rescale_boxes, retinanet_loss
+from ..parallel import MeshPlan, make_mesh
+from ..utils.metrics import MetricLogger, ProfilerHook
+from .callbacks import Callback, ModelCheckpoint
+from .model import RetinaNetModel
+from .optim import current_learning_rate, set_learning_rate
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    """Donated step state: params + BN stats + optimizer state + step count."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    """pl.Trainer-parity harness (reference usage: ``Trainer(...).fit(model)``,
+    ``.test(model)`` — README.md:42-59).
+
+    Accepts and ignores the torch-specific knobs (``gpus``, ``precision``)
+    for config compatibility: device placement is the mesh, and bf16 is on by
+    default.
+    """
+
+    def __init__(
+        self,
+        max_epochs: int = 10,
+        max_steps: Optional[int] = None,
+        callbacks: Optional[Sequence[Callback]] = None,
+        checkpoint_dir: Optional[str] = "checkpoints",
+        resume_from_checkpoint: Optional[str] = None,
+        val_check_interval: int = 1,
+        log_every_n_steps: int = 50,
+        profile_dir: Optional[str] = None,
+        mesh: Optional[MeshPlan] = None,
+        devices: Optional[Sequence[Any]] = None,
+        # accepted-for-parity, ignored:
+        gpus: Any = None,
+        precision: Any = None,
+        num_sanity_val_steps: Any = None,
+        **_ignored: Any,
+    ):
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.callbacks: List[Callback] = list(callbacks or [])
+        if checkpoint_dir and not any(
+            isinstance(c, ModelCheckpoint) for c in self.callbacks
+        ):
+            self.callbacks.append(ModelCheckpoint(checkpoint_dir))
+        self.resume_from_checkpoint = resume_from_checkpoint
+        self.val_check_interval = val_check_interval
+        self.logger_ = MetricLogger(print_freq=log_every_n_steps)
+        self.profiler = ProfilerHook(profile_dir)
+        self.mesh = mesh or make_mesh(devices)
+        self.should_stop = False
+        self.current_epoch = 0
+        self.global_step = 0
+        self.current_lr = 0.0
+        self.state: Optional[TrainState] = None
+        self._model: Optional[RetinaNetModel] = None
+        self._optimizer = None
+        self._scheduler = None
+        self._sched_meta: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # Step builders
+    # ------------------------------------------------------------------ #
+    def _build_steps(self, model: RetinaNetModel):
+        net = model.net
+        module = net.module
+        num_classes = net.num_classes
+        mutable_bn = not net.freeze_bn
+        optimizer = self._optimizer
+
+        def variables_of(state: TrainState):
+            v = {"params": state.params}
+            if state.batch_stats is not None:
+                v["batch_stats"] = state.batch_stats
+            return v
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, images, boxes, labels, valid):
+            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                if mutable_bn:
+                    (cls_logits, box_deltas), mut = module.apply(
+                        variables, images, True, mutable=["batch_stats"]
+                    )
+                    new_stats = mut["batch_stats"]
+                else:
+                    cls_logits, box_deltas = module.apply(variables, images, False)
+                    new_stats = state.batch_stats
+                losses = retinanet_loss(
+                    cls_logits, box_deltas, anchors, boxes, labels, valid,
+                    num_classes=num_classes,
+                )
+                total = losses["classification_loss"] + losses["regression_loss"]
+                return total, (losses, new_stats)
+
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            )
+            metrics = dict(losses, loss=total)
+            return new_state, metrics
+
+        @jax.jit
+        def eval_step(state: TrainState, images, boxes, labels, valid):
+            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+            cls_logits, box_deltas = module.apply(variables_of(state), images, False)
+            losses = retinanet_loss(
+                cls_logits, box_deltas, anchors, boxes, labels, valid,
+                num_classes=num_classes,
+            )
+            losses["loss"] = losses["classification_loss"] + losses["regression_loss"]
+            return losses
+
+        @jax.jit
+        def predict_step(state: TrainState, images, image_sizes):
+            cls_logits, box_deltas = module.apply(variables_of(state), images, False)
+            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+            return process_detections_batch(
+                cls_logits, box_deltas, anchors, image_sizes,
+                score_thres=net.score_thres,
+                nms_thres=net.nms_thres,
+                max_detections=net.max_detections,
+            )
+
+        return train_step, eval_step, predict_step
+
+    def _init_state(self, model: RetinaNetModel) -> TrainState:
+        variables = model.net.variables
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        opt_state = self._optimizer.init(params)
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        # Replicate across the mesh so XLA sees consistent shardings against
+        # the data-sharded batch (params replicated, grads psum'd over ICI).
+        return jax.device_put(state, self.mesh.replicated)
+
+    def _sync_model(self, model: RetinaNetModel) -> None:
+        """Copy trained state back into the model's variables."""
+        if self.state is None:
+            return
+        v = {"params": jax.device_get(self.state.params)}
+        if self.state.batch_stats is not None:
+            v["batch_stats"] = jax.device_get(self.state.batch_stats)
+        model.net.variables = v
+
+    # ------------------------------------------------------------------ #
+    # Checkpointing (orbax — SURVEY.md §5.4)
+    # ------------------------------------------------------------------ #
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        if self.state is None:
+            return
+        ckpt = {
+            "state": jax.device_get(self.state),
+            "epoch": np.asarray(self.current_epoch),
+            "global_step": np.asarray(self.global_step),
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), ckpt, force=True)
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        template = {
+            "state": jax.device_get(self.state),
+            "epoch": np.asarray(self.current_epoch),
+            "global_step": np.asarray(self.global_step),
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), item=template)
+        self.state = restored["state"]
+        self.current_epoch = int(restored["epoch"])
+        self.global_step = int(restored["global_step"])
+
+    # ------------------------------------------------------------------ #
+    # Loops
+    # ------------------------------------------------------------------ #
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        sharded = self.mesh.shard_batch(
+            {
+                "images": batch["images"],
+                "boxes": batch["boxes"],
+                "labels": batch["labels"],
+                "valid": batch["valid"],
+            }
+        )
+        return sharded
+
+    def fit(self, model: RetinaNetModel) -> Dict[str, float]:
+        """Train (reference: ``trainer.fit(model)``)."""
+        self._model = model
+        model.prepare_data()
+        self._optimizer, self._scheduler, self._sched_meta = (
+            model.configure_optimizers()
+        )
+        train_step, eval_step, _ = self._build_steps(model)
+        self.state = self._init_state(model)
+        if self.resume_from_checkpoint:
+            self.restore_checkpoint(self.resume_from_checkpoint)
+        self.current_lr = current_learning_rate(self.state.opt_state)
+
+        train_loader = model.train_dataloader()
+        metrics: Dict[str, float] = {}
+        interval = self._sched_meta.get("interval", "epoch")
+        frequency = self._sched_meta.get("frequency", 1)
+        monitor = self._sched_meta.get("monitor")
+
+        for epoch in range(self.current_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            for batch in self.logger_.log_every(
+                train_loader, header=f"epoch {epoch}"
+            ):
+                db = self._device_batch(batch)
+                self.state, step_metrics = train_step(
+                    self.state, db["images"], db["boxes"], db["labels"], db["valid"]
+                )
+                self.global_step += 1
+                self.profiler.step(self.global_step)
+                host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
+                self.logger_.update(**host)
+                metrics.update({f"train_{k}": v for k, v in host.items()})
+                if interval == "step" and self.global_step % frequency == 0:
+                    self._step_scheduler(None)
+                if self.max_steps and self.global_step >= self.max_steps:
+                    self.should_stop = True
+                    break
+
+            if (epoch + 1) % self.val_check_interval == 0:
+                val_metrics = self._run_validation(model, eval_step)
+                metrics.update(val_metrics)
+
+            if interval == "epoch" and (epoch + 1) % frequency == 0:
+                self._step_scheduler(metrics.get(monitor) if monitor else None)
+            metrics["lr"] = self.current_lr
+
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, metrics)
+            if self.should_stop:
+                break
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        self.profiler.close()
+        self._sync_model(model)
+        return metrics
+
+    def _step_scheduler(self, monitor_value: Optional[float]) -> None:
+        lr = self._scheduler.step(monitor_value)
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr)
+        )
+        self.current_lr = lr
+
+    def _run_validation(self, model: RetinaNetModel, eval_step) -> Dict[str, float]:
+        """Validation loss pass (reference validation_step, model.py:121-130)."""
+        loader = model.val_dataloader()
+        if loader is None:
+            return {}
+        totals: Dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            db = self._device_batch(batch)
+            losses = jax.device_get(
+                eval_step(self.state, db["images"], db["boxes"], db["labels"], db["valid"])
+            )
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        if not count:
+            return {}
+        out = {f"val_{k}" if k != "loss" else "val_loss": v / count for k, v in totals.items()}
+        logger.info("validation: %s", out)
+        return out
+
+    def validate(self, model: RetinaNetModel) -> Dict[str, float]:
+        """Standalone validation (pl.Trainer.validate parity)."""
+        self._ensure_state(model)
+        _, eval_step, _ = self._build_steps(model)
+        return self._run_validation(model, eval_step)
+
+    def test(self, model: RetinaNetModel) -> List[Dict[str, float]]:
+        """COCO-API test evaluation (reference test_step/test_epoch_end,
+        model.py:132-146): predict every test batch, accumulate into the COCO
+        evaluator, return ``[{"AP": stats[0]}]``-style results."""
+        self._ensure_state(model)
+        _, _, predict_step = self._build_steps(model)
+        evaluator = model.test_evaluator()
+        loader = model.test_dataloader()
+
+        for batch in self.logger_.log_every(loader, header="test"):
+            db = self.mesh.shard_batch(
+                {"images": batch["images"], "image_sizes": batch["image_sizes"]}
+            )
+            det = jax.device_get(
+                predict_step(self.state, db["images"], db["image_sizes"])
+            )
+            predictions = {}
+            for i, image_id in enumerate(batch["image_ids"]):
+                n = int(det.valid[i].sum())
+                boxes = np.asarray(
+                    rescale_boxes(
+                        det.boxes[i, :n],
+                        batch["image_sizes"][i],
+                        batch["orig_sizes"][i],
+                    )
+                )
+                predictions[int(image_id)] = {
+                    "boxes": boxes,
+                    "scores": np.asarray(det.scores[i, :n]),
+                    "labels": np.asarray(det.labels[i, :n]),
+                }
+            evaluator.update(predictions)
+
+        evaluator.synchronize_between_processes()
+        evaluator.accumulate()
+        stats = evaluator.summarize()
+        results = {"AP": float(stats[0])}
+        logger.info("test results: %s", results)
+        return [results]
+
+    def _ensure_state(self, model: RetinaNetModel) -> None:
+        if self._model is not model or self.state is None:
+            self._model = model
+            if model.trn_ds is None and model.test_ds is None:
+                model.prepare_data()
+            if self._optimizer is None:
+                self._optimizer, self._scheduler, self._sched_meta = (
+                    model.configure_optimizers()
+                )
+            if self.state is None:
+                self.state = self._init_state(model)

@@ -1,0 +1,165 @@
+"""ResNet-18/34/50/101/152 feature extractors, NHWC / bf16, frozen-BN aware.
+
+TPU-native rebuild of the reference backbone (``retinanet/backbone.py``): a
+ResNet trimmed to return the C3/C4/C5 feature maps (the reference's
+``_forward_impl`` returns ``layer_2/3/4`` at backbone.py:246-263). Bottleneck
+blocks use the ResNet-V1.5 stride placement (stride on the 3x3, reference
+backbone.py:83-136) so torch-pretrained ImageNet weights port tensor-for-tensor
+(see :mod:`.converter`).
+
+Differences from the reference, all layout/runtime, not semantic:
+  * NHWC + bf16 compute (see models/layers.py docstring).
+  * ``freeze_bn`` is part of the traced computation: frozen BN always uses the
+    stored statistics, so it cannot be silently un-frozen by a train-mode flag
+    (the reference freezes by calling ``.eval()`` once at construction,
+    backbone.py:348-351, which a later ``.train()`` reverts).
+  * Weight loading is an explicit converter step rather than a ctor-time
+    download (reference backbone.py:269-274 downloads from the torchvision
+    model zoo inside ``_resnet``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import BatchNorm, conv_kaiming, max_pool_torch
+
+Array = jnp.ndarray
+Dtype = Any
+
+# (block kind, stage depths) per architecture — reference backbone.py:277-328.
+RESNET_SPECS: Dict[str, Tuple[str, Tuple[int, int, int, int]]] = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+# Reference __small__/__big__ split (models.py:17-18) decides FPN input sizes.
+BACKBONE_OUT_CHANNELS: Dict[str, Tuple[int, int, int]] = {
+    "resnet18": (128, 256, 512),
+    "resnet34": (128, 256, 512),
+    "resnet50": (512, 1024, 2048),
+    "resnet101": (512, 1024, 2048),
+    "resnet152": (512, 1024, 2048),
+}
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (reference backbone.py:38-80)."""
+
+    features: int
+    strides: int = 1
+    freeze_bn: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bn = lambda name: BatchNorm(  # noqa: E731
+            frozen=self.freeze_bn, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        conv = lambda f, k, s, name: conv_kaiming(  # noqa: E731
+            f, (k, k), s, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        residual = x
+        y = conv(self.features, 3, self.strides, "conv1")(x)
+        y = nn.relu(bn("bn1")(y, not train))
+        y = conv(self.features, 3, 1, "conv2")(y)
+        y = bn("bn2")(y, not train)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            residual = conv(self.features, 1, self.strides, "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual, not train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3(stride) → 1x1(×4) bottleneck, ResNet-V1.5 (reference backbone.py:83-136)."""
+
+    features: int  # bottleneck width; output channels = features * 4
+    strides: int = 1
+    freeze_bn: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bn = lambda name: BatchNorm(  # noqa: E731
+            frozen=self.freeze_bn, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        conv = lambda f, k, s, name: conv_kaiming(  # noqa: E731
+            f, (k, k), s, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        out_features = self.features * 4
+        residual = x
+        y = conv(self.features, 1, 1, "conv1")(x)
+        y = nn.relu(bn("bn1")(y, not train))
+        y = conv(self.features, 3, self.strides, "conv2")(y)  # V1.5: stride here
+        y = nn.relu(bn("bn2")(y, not train))
+        y = conv(out_features, 1, 1, "conv3")(y)
+        y = bn("bn3")(y, not train)
+        if self.strides != 1 or x.shape[-1] != out_features:
+            residual = conv(out_features, 1, self.strides, "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual, not train)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet trunk returning {"c3", "c4", "c5"} NHWC feature maps.
+
+    Strides relative to the input: c3=8, c4=16, c5=32 (matching the FPN's
+    expectations and the anchor strides, reference config.py:34).
+    """
+
+    kind: str = "resnet50"
+    freeze_bn: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array, train: bool = False) -> Dict[str, Array]:
+        block_kind, depths = RESNET_SPECS[self.kind]
+        block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        x = images.astype(self.dtype)
+
+        # Stem: 7x7 s2 conv + BN + relu + 3x3 s2 maxpool (reference backbone.py:180-189)
+        x = conv_kaiming(
+            64, (7, 7), 2, dtype=self.dtype, param_dtype=self.param_dtype, name="stem_conv"
+        )(x)
+        x = nn.relu(
+            BatchNorm(
+                frozen=self.freeze_bn,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="stem_bn",
+            )(x, not train)
+        )
+        x = max_pool_torch(x, 3, 2)
+
+        outputs: Dict[str, Array] = {}
+        widths = (64, 128, 256, 512)
+        for stage, (depth, width) in enumerate(zip(depths, widths), start=1):
+            for i in range(depth):
+                strides = 2 if (i == 0 and stage > 1) else 1
+                x = block_cls(
+                    features=width,
+                    strides=strides,
+                    freeze_bn=self.freeze_bn,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"layer{stage}_block{i}",
+                )(x, train)
+            if stage >= 2:
+                outputs[f"c{stage + 1}"] = x
+        return outputs
+
+
+def backbone_out_channels(kind: str) -> Tuple[int, int, int]:
+    """(C3, C4, C5) channel sizes — replaces the reference's runtime probing
+    with dummy forward passes (models.py:135-150): channel sizes are static
+    facts of the architecture."""
+    return BACKBONE_OUT_CHANNELS[kind]

@@ -1,0 +1,324 @@
+"""End-to-end RetinaNet: backbone → FPN → head, plus the user-facing wrapper.
+
+TPU-native rebuild of the reference detector assembly
+(``retinanet/models.py:21-288``). Two layers:
+
+* :class:`RetinaNetModule` — the pure flax module. Input is a padded NHWC
+  float batch in [0, 1]; normalization (ImageNet mean/std, reference
+  config.py:12-13 applied via GeneralizedRCNNTransform at models.py:116) is
+  folded into the traced graph. Output is ``(cls_logits [N, A, K],
+  box_deltas [N, A, 4])`` in f32, index-aligned with
+  :func:`..ops.generate_anchors` of the padded image size.
+
+* :class:`Retinanet` — the reference-parity object API
+  (``Retinanet(**kwargs)``, reference models.py:21): owns params,
+  ``forward(images, targets) -> loss dict`` and ``predict(images) ->
+  [{boxes, scores, labels}]`` (reference models.py:274 / :245). Internally both
+  are jitted pure functions; the wrapper only does host-side resize/pad and
+  final box rescale to the original image sizes (the reference delegates that
+  to GeneralizedRCNNTransform.postprocess, models.py:271).
+
+Resolution handling: the reference resizes shortest-side→min_size capped at
+max_size and pads each batch to its own max (dynamic shapes). Here images are
+padded into static resolution buckets — (ceil32(min_size), ceil32(max_size))
+landscape or the transpose for portrait — so XLA compiles exactly two programs
+and anchor grids are trace-time constants.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .. import config as C
+from ..config import ifnone
+from ..ops import (
+    Detections,
+    generate_anchors,
+    num_anchors_per_location,
+    process_detections_batch,
+    rescale_boxes,
+    retinanet_loss,
+)
+from .backbone import RESNET_SPECS, ResNetBackbone
+from .fpn import FeaturePyramid
+from .head import RetinaNetHead
+
+Array = jnp.ndarray
+Dtype = Any
+
+__small__ = ["resnet18", "resnet34"]
+__big__ = ["resnet50", "resnet101", "resnet152"]
+
+
+class RetinaNetModule(nn.Module):
+    """Pure flax detector: padded [N, H, W, 3] in [0,1] → (cls_logits, box_deltas)."""
+
+    backbone_kind: str = "resnet50"
+    num_classes: int = C.NUM_CLASSES
+    freeze_bn: bool = C.FREEZE_BN
+    prior: float = C.PRIOR
+    channels: int = 256
+    mean: Sequence[float] = tuple(C.MEAN)
+    std: Sequence[float] = tuple(C.STD)
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array, train: bool = False) -> Tuple[Array, Array]:
+        mean = jnp.asarray(self.mean, dtype=jnp.float32)
+        std = jnp.asarray(self.std, dtype=jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+        feats = ResNetBackbone(
+            kind=self.backbone_kind,
+            freeze_bn=self.freeze_bn,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="backbone",
+        )(x, train)
+        pyramid = FeaturePyramid(
+            channels=self.channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fpn",
+        )(feats)
+        return RetinaNetHead(
+            num_classes=self.num_classes,
+            num_anchors=num_anchors_per_location(),
+            channels=self.channels,
+            prior=self.prior,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="head",
+        )(pyramid)
+
+
+def _ceil32(v: int) -> int:
+    return int(math.ceil(v / 32.0) * 32)
+
+
+def resolution_buckets(min_size: int, max_size: int) -> Tuple[Tuple[int, int], ...]:
+    """The static padded shapes this model compiles for: landscape + portrait
+    (+ square when min==max)."""
+    lo, hi = _ceil32(min_size), _ceil32(max_size)
+    if lo == hi:
+        return ((lo, hi),)
+    return ((lo, hi), (hi, lo))
+
+
+def resize_to_bucket(
+    image: np.ndarray, min_size: int, max_size: int
+) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
+    """Host-side: reference resize rule + pad into the orientation bucket.
+
+    Mirrors GeneralizedRCNNTransform (reference models.py:116): scale so the
+    short side hits `min_size` unless the long side would exceed `max_size`.
+
+    Args:
+      image: HWC float or uint8 array (any channel count; RGB expected).
+
+    Returns:
+      (padded HWC float32 in [0,1], resized (h, w) before padding,
+       original (h, w)).
+    """
+    import cv2
+
+    orig_h, orig_w = image.shape[:2]
+    scale = min(min_size / min(orig_h, orig_w), max_size / max(orig_h, orig_w))
+    new_h, new_w = int(round(orig_h * scale)), int(round(orig_w * scale))
+    resized = cv2.resize(
+        np.asarray(image), (new_w, new_h), interpolation=cv2.INTER_LINEAR
+    )
+    if resized.dtype == np.uint8:
+        resized = resized.astype(np.float32) / 255.0
+    else:
+        resized = resized.astype(np.float32)
+    if orig_h >= orig_w:  # portrait (or square) bucket
+        pad_h, pad_w = _ceil32(max_size), _ceil32(min_size)
+    else:
+        pad_h, pad_w = _ceil32(min_size), _ceil32(max_size)
+    pad_h, pad_w = max(pad_h, new_h), max(pad_w, new_w)
+    out = np.zeros((pad_h, pad_w, resized.shape[2]), np.float32)
+    out[:new_h, :new_w] = resized
+    return out, (new_h, new_w), (orig_h, orig_w)
+
+
+class Retinanet:
+    """Reference-parity detector object (reference models.py:21-288).
+
+    Construction arguments mirror the reference ctor (``num_classes``,
+    ``backbone_kind``, ``prior``, ``pretrained``, ``nms_thres``,
+    ``score_thres``, ``max_detections_per_images``, ``freeze_bn``,
+    ``min_size``, ``max_size``); defaults come from :mod:`..config` through
+    ``ifnone`` exactly like reference models.py:94-107.
+    """
+
+    def __init__(
+        self,
+        num_classes: Optional[int] = None,
+        backbone_kind: Optional[str] = None,
+        prior: Optional[float] = None,
+        pretrained: Optional[bool] = None,
+        nms_thres: Optional[float] = None,
+        score_thres: Optional[float] = None,
+        max_detections_per_images: Optional[int] = None,
+        freeze_bn: Optional[bool] = None,
+        min_size: Optional[int] = None,
+        max_size: Optional[int] = None,
+        pretrained_path: Optional[str] = None,
+        compute_dtype: Optional[str] = None,
+        seed: int = 0,
+        **unused,
+    ):
+        self.num_classes = ifnone(num_classes, C.NUM_CLASSES)
+        self.backbone_kind = ifnone(backbone_kind, C.BACKBONE)
+        if self.backbone_kind not in RESNET_SPECS:
+            raise ValueError(
+                f"backbone_kind must be one of {sorted(RESNET_SPECS)}, "
+                f"got {self.backbone_kind!r}"
+            )
+        self.prior = ifnone(prior, C.PRIOR)
+        self.pretrained = ifnone(pretrained, C.PRETRAINED_BACKBONE)
+        self.nms_thres = ifnone(nms_thres, C.NMS_THRES)
+        self.score_thres = ifnone(score_thres, C.SCORE_THRES)
+        self.max_detections = ifnone(max_detections_per_images, C.MAX_DETECTIONS_PER_IMAGE)
+        self.freeze_bn = ifnone(freeze_bn, C.FREEZE_BN)
+        self.min_size = ifnone(min_size, C.MIN_IMAGE_SIZE)
+        self.max_size = ifnone(max_size, C.MAX_IMAGE_SIZE)
+        dtype = getattr(jnp, ifnone(compute_dtype, C.COMPUTE_DTYPE))
+
+        self.module = RetinaNetModule(
+            backbone_kind=self.backbone_kind,
+            num_classes=self.num_classes,
+            freeze_bn=self.freeze_bn,
+            prior=self.prior,
+            dtype=dtype,
+        )
+        init_size = resolution_buckets(self.min_size, self.max_size)[0]
+        variables = self.module.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, init_size[0], init_size[1], 3), jnp.float32),
+        )
+        self.variables = variables
+        if self.pretrained and pretrained_path:
+            self.load_torch_backbone(pretrained_path)
+
+        self._predict_fn = jax.jit(self._predict_impl)
+        self._loss_fn = jax.jit(self._loss_impl)
+
+    # ------------------------------------------------------------------ #
+    # Functional core (used by the Trainer too)
+    # ------------------------------------------------------------------ #
+    def apply(self, variables, images: Array, train: bool = False):
+        """Raw module application → (cls_logits, box_deltas)."""
+        return self.module.apply(variables, images, train)
+
+    def _loss_impl(self, variables, images, gt_boxes, gt_labels, gt_valid):
+        cls_logits, box_deltas = self.module.apply(variables, images, False)
+        anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+        return retinanet_loss(
+            cls_logits,
+            box_deltas,
+            anchors,
+            gt_boxes,
+            gt_labels,
+            gt_valid,
+            num_classes=self.num_classes,
+        )
+
+    def _predict_impl(self, variables, images, image_sizes) -> Detections:
+        cls_logits, box_deltas = self.module.apply(variables, images, False)
+        anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+        return process_detections_batch(
+            cls_logits,
+            box_deltas,
+            anchors,
+            image_sizes,
+            score_thres=self.score_thres,
+            nms_thres=self.nms_thres,
+            max_detections=self.max_detections,
+        )
+
+    # ------------------------------------------------------------------ #
+    # Reference-parity API
+    # ------------------------------------------------------------------ #
+    def forward(
+        self, images: Array, targets: Dict[str, Array]
+    ) -> Dict[str, Array]:
+        """Training losses for a padded batch (reference models.py:274-288).
+
+        `targets` is the padded dict {"boxes" [B,N,4], "labels" [B,N],
+        "valid" [B,N]} produced by the data pipeline's collate.
+        """
+        return self._loss_fn(
+            self.variables,
+            images,
+            targets["boxes"],
+            targets["labels"],
+            targets["valid"],
+        )
+
+    __call__ = forward
+
+    def predict(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """Detect objects on raw HWC images (reference models.py:245-272).
+
+        Images are resized/padded host-side into the model's resolution
+        buckets (grouped by orientation so each bucket is one compiled
+        program), and final boxes are rescaled to each image's original size.
+        """
+        out: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        prepped = []
+        for i, im in enumerate(images):
+            padded, resized_hw, orig_hw = resize_to_bucket(
+                np.asarray(im), self.min_size, self.max_size
+            )
+            prepped.append((padded, resized_hw, orig_hw))
+            groups.setdefault(padded.shape[:2], []).append(i)
+
+        for bucket, idxs in groups.items():
+            batch = jnp.asarray(np.stack([prepped[i][0] for i in idxs]))
+            sizes = jnp.asarray(
+                np.array([prepped[i][1] for i in idxs], np.float32)
+            )
+            det = self._predict_fn(self.variables, batch, sizes)
+            det = jax.device_get(det)
+            for row, i in enumerate(idxs):
+                n = int(det.valid[row].sum())
+                boxes = np.asarray(
+                    rescale_boxes(
+                        det.boxes[row, :n],
+                        np.asarray(prepped[i][1], np.float32),
+                        np.asarray(prepped[i][2], np.float32),
+                    )
+                )
+                out[i] = {
+                    "boxes": boxes,
+                    "scores": np.asarray(det.scores[row, :n]),
+                    "labels": np.asarray(det.labels[row, :n]),
+                }
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------ #
+    # Checkpoint interop
+    # ------------------------------------------------------------------ #
+    def load_torch_backbone(self, path: str) -> None:
+        """Load torchvision ImageNet ResNet weights into the backbone
+        (replaces the reference's ctor-time model-zoo download,
+        backbone.py:269-274)."""
+        from .converter import load_torch_resnet
+
+        self.variables = load_torch_resnet(self.variables, path, self.backbone_kind)
+
+    def state_dict(self):
+        """The full variable pytree (params + batch stats)."""
+        return self.variables
+
+    def load_state_dict(self, variables) -> None:
+        self.variables = variables

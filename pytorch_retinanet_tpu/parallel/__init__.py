@@ -1,0 +1,136 @@
+"""Device-mesh parallelism: sharding specs, collectives, distributed init.
+
+TPU-native replacement for the reference's torch.distributed/NCCL layer
+(``utils/coco/detection_utils.py:77-146, 255-327``), rebuilt on
+``jax.sharding`` (SURVEY.md §2.3, §5.8):
+
+* the train step is jitted over a ``Mesh`` with a ``data`` axis — the batch is
+  sharded across devices, parameters/optimizer state are replicated, and XLA
+  inserts the gradient ``psum`` over ICI automatically (no hand-written
+  all-reduce, unlike the reference's ``reduce_dict``).
+* eval-shard merging (the reference's pickle-over-NCCL ``all_gather``,
+  detection_utils.py:77-119) becomes either fixed-shape array all-gathers on
+  device or host-side object gathers via ``jax.experimental.multihost_utils``.
+* process-group bootstrap (reference ``init_distributed_mode``,
+  detection_utils.py:300-327, env:// + SLURM) maps onto
+  ``jax.distributed.initialize``, which reads the same style of cluster env.
+
+The mesh axis layout is extensible (``("data",)`` today; model axes can be
+added without changing call sites) — the reference is data-parallel-only
+(SURVEY.md §2.3), so parity needs exactly this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (replaces reference init_distributed_mode,
+    detection_utils.py:300-327). No-ops gracefully single-process, like the
+    reference's early-return when env vars are missing."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def get_world_size() -> int:
+    """Reference get_world_size (detection_utils.py:279-283)."""
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    """Reference get_rank (detection_utils.py:286-289)."""
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """Reference is_main_process (detection_utils.py:292-293)."""
+    return jax.process_index() == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    """A device mesh plus the canonical shardings the engine uses."""
+
+    mesh: Mesh
+
+    @property
+    def data_sharding(self) -> NamedSharding:
+        """Batch arrays: sharded on the leading (batch) axis over 'data'."""
+        return NamedSharding(self.mesh, P("data"))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        """Params / optimizer state: replicated everywhere."""
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def shard_batch(self, batch):
+        """Device-put a host batch dict with the batch axis sharded over 'data'."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.data_sharding), batch
+        )
+
+
+def make_mesh(
+    devices: Optional[Sequence[Any]] = None, axis_name: str = "data"
+) -> MeshPlan:
+    """Build a 1-D data-parallel mesh over all local+addressable devices."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return MeshPlan(Mesh(devs.reshape(-1), (axis_name,)))
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather arbitrary python objects from every process (reference
+    all_gather, detection_utils.py:77-119 — pickle over NCCL). Single-process
+    returns ``[obj]`` exactly like the reference's world_size==1 early-return.
+
+    Multi-host, this uses jax's global broadcast utilities; the hot path
+    (detections) should use fixed-shape device all-gathers instead — this is
+    only for small eval-result merges.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # Round 1: exchange sizes (fixed shape), round 2: pad to max then gather —
+    # the same size-padded protocol as the reference (detection_utils.py:88-111).
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64)
+    ).reshape(-1)
+    max_size = int(sizes.max())
+    padded = np.zeros(max_size, np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(gathered.shape[0])
+    ]
+
+
+def reduce_dict(metrics: dict, mesh_plan: Optional[MeshPlan] = None) -> dict:
+    """Average a dict of scalars across devices (reference reduce_dict,
+    detection_utils.py:122-146). Under jit the loss psum happens inside the
+    train step; this is the host-side equivalent for already-materialized
+    scalars (jax arrays are replicated post-jit, so this is an unwrap)."""
+    return {k: float(np.asarray(v).mean()) for k, v in metrics.items()}

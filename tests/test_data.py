@@ -1,0 +1,186 @@
+"""Data layer tests: transforms, pascal/csv ingestion, COCO index, loader."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pytorch_retinanet_tpu.data import (
+    COCOIndex,
+    CocoDetectionDataset,
+    Compose,
+    DetectionLoader,
+    HorizontalFlip,
+    PascalDataset,
+    RandomBrightnessContrast,
+    ToFloat,
+    build_transforms,
+    convert_annotations_to_df,
+    convert_to_coco_api,
+    generate_pascal_category_names,
+    pad_targets,
+)
+
+
+@pytest.fixture
+def voc_dir(tmp_path):
+    """Two VOC XML files + matching images."""
+    import cv2
+
+    ann = tmp_path / "ann"
+    img = tmp_path / "img"
+    ann.mkdir()
+    img.mkdir()
+    xml = """<annotation>
+      <filename>{name}</filename>
+      <size><width>80</width><height>60</height><depth>3</depth></size>
+      <object><name>{cls1}</name>
+        <bndbox><xmin>10</xmin><ymin>10</ymin><xmax>30</xmax><ymax>30</ymax></bndbox>
+      </object>
+      <object><name>{cls2}</name>
+        <bndbox><xmin>40</xmin><ymin>20</ymin><xmax>70</xmax><ymax>50</ymax></bndbox>
+      </object>
+    </annotation>"""
+    for i, (c1, c2) in enumerate([("dog", "cat"), ("cat", "bird")]):
+        (ann / f"{i}.xml").write_text(xml.format(name=f"{i}.png", cls1=c1, cls2=c2))
+        cv2.imwrite(str(img / f"{i}.png"), np.full((60, 80, 3), 128, np.uint8))
+    return str(ann), str(img)
+
+
+class TestTransforms:
+    def test_hflip_flips_boxes(self):
+        img = np.zeros((10, 20, 3), np.float32)
+        boxes = np.array([[2.0, 1.0, 6.0, 5.0]], np.float32)
+        labels = np.array([1])
+        t = HorizontalFlip(p=1.0)
+        _, fb, _ = t(img, boxes, labels)
+        assert fb.tolist() == [[14.0, 1.0, 18.0, 5.0]]
+
+    def test_hflip_involution(self):
+        img = np.random.rand(10, 20, 3).astype(np.float32)
+        boxes = np.array([[2.0, 1.0, 6.0, 5.0]], np.float32)
+        t = HorizontalFlip(p=1.0)
+        i2, b2, _ = t(*t(img, boxes, np.array([1])))
+        np.testing.assert_allclose(i2, img)
+        np.testing.assert_allclose(b2, boxes)
+
+    def test_tofloat_scales_uint8(self):
+        img = np.full((4, 4, 3), 255, np.uint8)
+        out, _, _ = ToFloat()(img, np.zeros((0, 4), np.float32), np.zeros(0))
+        assert out.dtype == np.float32 and out.max() == pytest.approx(1.0)
+
+    def test_brightness_contrast_stays_in_range(self):
+        img = np.random.rand(8, 8, 3).astype(np.float32)
+        out, _, _ = RandomBrightnessContrast(0.5, 0.5, p=1.0)(
+            img, np.zeros((0, 4), np.float32), np.zeros(0)
+        )
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_build_transforms_reference_config_shape(self):
+        t = build_transforms(
+            [{"class_name": "albumentations.HorizontalFlip", "params": {"p": 0.5}}]
+        )
+        assert isinstance(t, Compose)
+        assert any(isinstance(x, HorizontalFlip) for x in t.transforms)
+
+    def test_build_transforms_unknown_raises(self):
+        with pytest.raises(KeyError):
+            build_transforms([{"class_name": "albumentations.CLAHE", "params": {}}])
+
+
+class TestPascal:
+    def test_xml_scrape_schema_and_labels(self, voc_dir):
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        assert set(df.columns) >= {
+            "filename", "width", "height", "class", "xmin", "ymin", "xmax", "ymax", "labels",
+        }
+        assert len(df) == 4
+        # labels: sorted classes bird<cat<dog → 1,2,3 (0 = background)
+        lut = dict(zip(df["class"], df["labels"]))
+        assert lut == {"bird": 1, "cat": 2, "dog": 3}
+
+    def test_category_names_with_background(self, voc_dir):
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        names = generate_pascal_category_names(df)
+        assert names[0] == "__background__"
+        assert names[1] == "bird" and names[3] == "dog"
+
+    def test_dataset_getitem(self, voc_dir):
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        ds = PascalDataset(df)
+        image, target, idx = ds[0]
+        assert image.shape == (60, 80, 3) and image.dtype == np.float32
+        assert target["boxes"].shape == (2, 4)
+        assert len(ds) == 2
+
+
+class TestCOCOIndex:
+    def test_roundtrip_and_loadres(self, tmp_path):
+        data = {
+            "images": [{"id": 7, "height": 50, "width": 60, "file_name": "7.png"}],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 3,
+                 "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0}
+            ],
+            "categories": [{"id": 3, "name": "cat"}],
+        }
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(data))
+        coco = COCOIndex(str(p))
+        assert coco.getImgIds() == [7]
+        assert coco.getAnnIds([7]) == [1]
+        res = coco.loadRes(
+            [{"image_id": 7, "category_id": 3, "bbox": [5, 5, 20, 20], "score": 0.5}]
+        )
+        assert len(res.anns) == 1 and res.anns[1]["area"] == 400
+
+    def test_convert_to_coco_api(self, voc_dir):
+        ann, img = voc_dir
+        from pytorch_retinanet_tpu.data import convert_annotations_to_df
+
+        ds = PascalDataset(convert_annotations_to_df(ann, img))
+        api = convert_to_coco_api(ds)
+        assert len(api.imgs) == 2
+        assert len(api.anns) == 4
+        # bbox stored as xywh
+        first = next(iter(api.anns.values()))
+        assert first["bbox"][2] == pytest.approx(20.0)
+
+
+class TestLoader:
+    def test_pad_targets(self):
+        b, l, v = pad_targets(np.ones((3, 4), np.float32), np.ones(3, np.int64), 5)
+        assert b.shape == (5, 4) and v.sum() == 3 and l[3:].sum() == 0
+
+    def test_fixed_shape_batches(self, voc_dir):
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        ds = PascalDataset(df)
+        loader = DetectionLoader(
+            ds, batch_size=2, min_size=32, max_size=64, max_gt=10, num_workers=2
+        )
+        batches = list(loader)
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["images"].shape[0] == 2
+        assert b["images"].shape[3] == 3
+        assert b["images"].shape[1] % 32 == 0 and b["images"].shape[2] % 32 == 0
+        assert b["boxes"].shape == (2, 10, 4)
+        assert b["valid"].sum() == 4
+        # boxes rescaled into resized coords, inside the padded canvas
+        assert b["boxes"][b["valid"]].max() <= max(b["images"].shape[1:3])
+
+    def test_sharding_partitions_dataset(self, voc_dir):
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        ds = PascalDataset(df)
+        l0 = DetectionLoader(ds, 1, min_size=32, max_size=64, shard=0, num_shards=2)
+        l1 = DetectionLoader(ds, 1, min_size=32, max_size=64, shard=1, num_shards=2)
+        ids0 = [b["image_ids"][0] for b in l0]
+        ids1 = [b["image_ids"][0] for b in l1]
+        assert sorted(ids0 + ids1) == [0, 1]

@@ -1,0 +1,142 @@
+"""Optimizer/scheduler registry tests — torch semantics parity."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pytorch_retinanet_tpu.engine.optim import (
+    CosineAnnealingLR,
+    MultiStepLR,
+    ReduceLROnPlateau,
+    StepLR,
+    build_optimizer,
+    build_scheduler,
+    current_learning_rate,
+    set_learning_rate,
+)
+
+
+class TestSchedulers:
+    def test_cosine_matches_formula(self):
+        s = CosineAnnealingLR(0.1, T_max=10, eta_min=0.001)
+        for t in [1, 5, 10]:
+            expected = 0.001 + (0.1 - 0.001) * (1 + math.cos(math.pi * t / 10)) / 2
+            assert s.lr_at(t) == pytest.approx(expected)
+
+    def test_step_lr_decays_every_step_size(self):
+        s = StepLR(1.0, step_size=3, gamma=0.1)
+        lrs = [s.step() for _ in range(7)]
+        assert lrs[:2] == [1.0, 1.0]
+        assert lrs[2] == pytest.approx(0.1)  # t=3
+        assert lrs[5] == pytest.approx(0.01)  # t=6
+
+    def test_multistep(self):
+        s = MultiStepLR(1.0, milestones=[2, 5], gamma=0.5)
+        lrs = [s.step() for _ in range(6)]
+        assert lrs[0] == 1.0
+        assert lrs[1] == pytest.approx(0.5)
+        assert lrs[4] == pytest.approx(0.25)
+
+    def test_plateau_reduces_after_patience(self):
+        s = ReduceLROnPlateau(1.0, factor=0.1, patience=2)
+        # improving metrics: lr unchanged
+        assert s.step(1.0) == 1.0
+        assert s.step(0.9) == 1.0
+        # now plateau: bad epochs 1, 2, then trip on 3rd
+        assert s.step(0.95) == 1.0
+        assert s.step(0.95) == 1.0
+        assert s.step(0.95) == pytest.approx(0.1)
+
+    def test_plateau_max_mode(self):
+        s = ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=0)
+        assert s.step(0.5) == 1.0
+        assert s.step(0.4) == pytest.approx(0.5)  # worse in max mode
+
+    def test_build_scheduler_none_is_constant(self):
+        s = build_scheduler(None, 0.02)
+        assert s.step() == 0.02
+
+    def test_registry_accepts_torch_names(self):
+        s = build_scheduler(
+            "torch.optim.lr_scheduler.ReduceLROnPlateau", 0.01,
+            {"mode": "min", "factor": 0.1, "patience": 5},
+        )
+        assert isinstance(s, ReduceLROnPlateau)
+
+    def test_unknown_scheduler_raises(self):
+        with pytest.raises(KeyError):
+            build_scheduler("torch.optim.lr_scheduler.OneCycleLR", 0.01)
+
+
+class TestOptimizers:
+    def test_sgd_descends_quadratic(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        opt = build_optimizer(
+            "torch.optim.SGD", {"lr": 0.1, "momentum": 0.5, "weight_decay": 0.0}
+        )
+        params = {"w": jnp.asarray(5.0)}
+        state = opt.init(params)
+        for _ in range(100):
+            grads = jax.grad(lambda p: (p["w"] - 2.0) ** 2)(params)
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(params["w"]) == pytest.approx(2.0, abs=1e-2)
+
+    def test_lr_injection_roundtrip(self):
+        import jax.numpy as jnp
+
+        opt = build_optimizer("torch.optim.SGD", {"lr": 0.01})
+        state = opt.init({"w": jnp.zeros(3)})
+        assert current_learning_rate(state) == pytest.approx(0.01)
+        state = set_learning_rate(state, 0.001)
+        assert current_learning_rate(state) == pytest.approx(0.001)
+
+    def test_lr_change_affects_update_size(self):
+        import jax.numpy as jnp
+        import optax
+
+        opt = build_optimizer("torch.optim.SGD", {"lr": 1.0})
+        params = {"w": jnp.asarray(0.0)}
+        state = opt.init(params)
+        g = {"w": jnp.asarray(1.0)}
+        up1, state = opt.update(g, state, params)
+        state = set_learning_rate(state, 0.5)
+        up2, _ = opt.update(g, state, params)
+        assert float(up1["w"]) == pytest.approx(-1.0)
+        assert float(up2["w"]) == pytest.approx(-0.5)
+
+    def test_torch_sgd_weight_decay_parity(self):
+        """Our SGD(wd, momentum) must match torch's coupled L2 + momentum."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        import torch
+
+        lr, wd, mom = 0.1, 0.01, 0.9
+        w0 = 3.0
+        # torch
+        tw = torch.nn.Parameter(torch.tensor([w0]))
+        topt = torch.optim.SGD([tw], lr=lr, momentum=mom, weight_decay=wd)
+        for _ in range(5):
+            topt.zero_grad()
+            ((tw - 2.0) ** 2).sum().backward()
+            topt.step()
+        # ours
+        opt = build_optimizer(
+            "torch.optim.SGD", {"lr": lr, "momentum": mom, "weight_decay": wd}
+        )
+        params = {"w": jnp.asarray([w0])}
+        state = opt.init(params)
+        for _ in range(5):
+            grads = jax.grad(lambda p: jnp.sum((p["w"] - 2.0) ** 2))(params)
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(params["w"][0]) == pytest.approx(float(tw.detach()[0]), abs=1e-5)
+
+    def test_unknown_optimizer_raises(self):
+        with pytest.raises(KeyError):
+            build_optimizer("torch.optim.LBFGS", {"lr": 1.0})
