@@ -167,7 +167,29 @@ class COCOeval:
         gtm = np.zeros((T, G))
         dtm = np.zeros((T, D))
         dtIg = np.zeros((T, D))
+        native_done = False
         if ious.size:
+            # Hot path: the greedy T*D*G matcher in C++ (native/, the
+            # framework's equivalent of pycocotools' C extension). Falls back
+            # to the python loop below when no compiler is available.
+            from ..native import coco_match as _native_match
+
+            res = _native_match(
+                ious, gtIg, np.asarray(iscrowd, np.int32), np.asarray(p.iouThrs)
+            )
+            if res is not None:
+                dtm_idx, gtm_idx, dt_ig_u8 = res
+                gt_ids = np.asarray([g["id"] for g in gt])
+                dt_ids = np.asarray([d["id"] for d in dt])
+                dtm = np.where(dtm_idx > 0, gt_ids[np.maximum(dtm_idx - 1, 0)], 0).astype(
+                    np.float64
+                )
+                gtm = np.where(gtm_idx > 0, dt_ids[np.maximum(gtm_idx - 1, 0)], 0).astype(
+                    np.float64
+                )
+                dtIg = dt_ig_u8.astype(np.float64)
+                native_done = True
+        if ious.size and not native_done:
             for tind, t in enumerate(p.iouThrs):
                 for dind in range(D):
                     iou = min(t, 1 - 1e-10)

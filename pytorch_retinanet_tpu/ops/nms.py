@@ -111,6 +111,7 @@ def process_detections(
     pre_nms_top_k: int = PRE_NMS_TOP_K,
     reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
     max_coordinate: float = 4096.0,
+    use_pallas: bool | None = None,
 ) -> Detections:
     """Fused postprocess for ONE image (vmap for a batch).
 
@@ -142,7 +143,16 @@ def process_detections(
     valid = (top_scores > score_thres) & small_box_mask(boxes)  # models.py:196,203
 
     offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
-    keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
+    if use_pallas is None:
+        from ..kernels import tpu_available
+
+        use_pallas = tpu_available()
+    if use_pallas:
+        from ..kernels import pallas_nms_keep_mask
+
+        keep = pallas_nms_keep_mask(boxes + offsets[:, None], valid, nms_thres)
+    else:
+        keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
 
     sel_scores = jnp.where(keep, top_scores, -1.0)
     det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)

@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU plugin and force-sets
+# jax_platforms="axon,cpu" via config update, which overrides the env var —
+# an explicit later config update is the only way to actually get the CPU
+# backend (and with it the forced 8-device host platform).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
