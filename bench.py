@@ -22,7 +22,10 @@ BASELINE_IMG_PER_SEC = 27.0  # torchvision RetinaNet-R50 800px, A100 (external e
 
 def main() -> None:
     from pytorch_retinanet_tpu.models import RetinaNetModule
-    from pytorch_retinanet_tpu.ops import generate_anchors, process_detections_batch
+    from pytorch_retinanet_tpu.ops import (
+        generate_anchors_per_level,
+        process_detections_multilevel_batch,
+    )
 
     backend = jax.default_backend()
     batch = 8
@@ -32,13 +35,15 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     images = jnp.zeros((1, *image_size, 3), jnp.float32)
     variables = module.init(rng, images)
-    anchors = jnp.asarray(generate_anchors(image_size))
+    anchors_levels = [jnp.asarray(a) for a in generate_anchors_per_level(image_size)]
 
     @jax.jit
     def infer(variables, images, image_sizes):
-        cls_logits, box_deltas = module.apply(variables, images, False)
-        return process_detections_batch(
-            cls_logits, box_deltas, anchors, image_sizes
+        cls_levels, box_levels = module.apply(
+            variables, images, False, return_levels=True
+        )
+        return process_detections_multilevel_batch(
+            cls_levels, box_levels, anchors_levels, image_sizes
         )
 
     x = jnp.asarray(

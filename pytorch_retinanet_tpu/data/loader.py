@@ -12,6 +12,9 @@ static-shape numpy arrays ready for ``jax.device_put``:
     boxes       [B, MAX_GT, 4] float32 XYXY in resized coords
     labels      [B, MAX_GT] int32
     valid       [B, MAX_GT] bool
+    batch_mask  [B] bool — False for padding rows appended to the final
+                partial batch so every batch has the same static B (and stays
+                divisible by the device-mesh size)
 
 Design points (SURVEY.md §5.7, §2.3):
   * **Static shapes**: images are resized by the reference's shortest-side rule
@@ -68,6 +71,7 @@ class DetectionLoader:
         max_gt: int = C.MAX_GT_BOXES,
         shuffle: bool = False,
         drop_last: bool = False,
+        pad_last: bool = True,
         num_workers: int = 4,
         prefetch: int = 2,
         seed: int = 0,
@@ -81,6 +85,7 @@ class DetectionLoader:
         self.max_gt = max_gt
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -132,24 +137,46 @@ class DetectionLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         return batches
 
-    @staticmethod
-    def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    def _collate(
+        self, samples: Sequence[Dict[str, np.ndarray]]
+    ) -> Dict[str, np.ndarray]:
         # Group to the largest bucket present: letterbox mismatched orientations
         # up (rare within a shuffled batch; torchvision pads to batch-max too).
+        n_real = len(samples)
+        n_total = self.batch_size if (self.pad_last and n_real < self.batch_size) else n_real
         max_h = max(s["image"].shape[0] for s in samples)
         max_w = max(s["image"].shape[1] for s in samples)
-        images = np.zeros((len(samples), max_h, max_w, 3), np.float32)
+        images = np.zeros((n_total, max_h, max_w, 3), np.float32)
         for i, s in enumerate(samples):
             h, w = s["image"].shape[:2]
             images[i, :h, :w] = s["image"]
+
+        def stack_padded(key, fill=0):
+            arr = np.stack([s[key] for s in samples])
+            if n_total > n_real:
+                pad = np.full((n_total - n_real, *arr.shape[1:]), fill, arr.dtype)
+                # image_sizes of padding rows must stay nonzero for safe division
+                if key in ("image_size", "orig_size"):
+                    pad[:] = arr[-1]
+                arr = np.concatenate([arr, pad])
+            return arr
+
+        batch_mask = np.zeros(n_total, bool)
+        batch_mask[:n_real] = True
         return {
             "images": images,
-            "image_sizes": np.stack([s["image_size"] for s in samples]),
-            "orig_sizes": np.stack([s["orig_size"] for s in samples]),
-            "image_ids": np.asarray([s["image_id"] for s in samples], np.int64),
-            "boxes": np.stack([s["boxes"] for s in samples]),
-            "labels": np.stack([s["labels"] for s in samples]),
-            "valid": np.stack([s["valid"] for s in samples]),
+            "image_sizes": stack_padded("image_size"),
+            "orig_sizes": stack_padded("orig_size"),
+            "image_ids": np.concatenate(
+                [
+                    np.asarray([s["image_id"] for s in samples], np.int64),
+                    np.full(n_total - n_real, -1, np.int64),
+                ]
+            ),
+            "boxes": stack_padded("boxes"),
+            "labels": stack_padded("labels"),
+            "valid": stack_padded("valid"),
+            "batch_mask": batch_mask,
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -32,7 +32,13 @@ import optax
 from flax import struct
 
 from ..data.loader import DetectionLoader
-from ..ops import generate_anchors, process_detections_batch, rescale_boxes, retinanet_loss
+from ..ops import (
+    generate_anchors,
+    generate_anchors_per_level,
+    process_detections_multilevel_batch,
+    rescale_boxes,
+    retinanet_loss,
+)
 from ..parallel import MeshPlan, make_mesh
 from ..utils.metrics import MetricLogger, ProfilerHook
 from .callbacks import Callback, ModelCheckpoint
@@ -159,19 +165,25 @@ class Trainer:
         def eval_step(state: TrainState, images, boxes, labels, valid):
             anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
             cls_logits, box_deltas = module.apply(variables_of(state), images, False)
+            # Per-image losses so the host can mask padded batch rows.
             losses = retinanet_loss(
                 cls_logits, box_deltas, anchors, boxes, labels, valid,
-                num_classes=num_classes,
+                num_classes=num_classes, reduction="none",
             )
             losses["loss"] = losses["classification_loss"] + losses["regression_loss"]
             return losses
 
         @jax.jit
         def predict_step(state: TrainState, images, image_sizes):
-            cls_logits, box_deltas = module.apply(variables_of(state), images, False)
-            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
-            return process_detections_batch(
-                cls_logits, box_deltas, anchors, image_sizes,
+            cls_levels, box_levels = module.apply(
+                variables_of(state), images, False, return_levels=True
+            )
+            anchors_levels = [
+                jnp.asarray(a)
+                for a in generate_anchors_per_level(tuple(images.shape[1:3]))
+            ]
+            return process_detections_multilevel_batch(
+                cls_levels, box_levels, anchors_levels, image_sizes,
                 score_thres=net.score_thres,
                 nms_thres=net.nms_thres,
                 max_detections=net.max_detections,
@@ -247,10 +259,31 @@ class Trainer:
         )
         return sharded
 
+    def _fit_mesh_to_batch(self, batch_size: int) -> None:
+        """Shrink the data mesh to the largest device count dividing the batch
+        (a 2-image debug batch must not be forced onto an 8-device mesh)."""
+        n = self.mesh.num_devices
+        while batch_size % n != 0:
+            n -= 1
+        if n != self.mesh.num_devices:
+            logger.warning(
+                "batch size %d not divisible by %d devices; using a %d-device mesh",
+                batch_size, self.mesh.num_devices, n,
+            )
+            self.mesh = make_mesh(self.mesh.mesh.devices.flatten()[:n])
+
     def fit(self, model: RetinaNetModel) -> Dict[str, float]:
         """Train (reference: ``trainer.fit(model)``)."""
         self._model = model
         model.prepare_data()
+        import math
+
+        self._fit_mesh_to_batch(
+            math.gcd(
+                int(model.hparams.dataloader.train_bs),
+                int(model.hparams.dataloader.valid_bs or model.hparams.dataloader.train_bs),
+            )
+        )
         self._optimizer, self._scheduler, self._sched_meta = (
             model.configure_optimizers()
         )
@@ -324,9 +357,10 @@ class Trainer:
             losses = jax.device_get(
                 eval_step(self.state, db["images"], db["boxes"], db["labels"], db["valid"])
             )
+            mask = batch["batch_mask"]
             for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
+                totals[k] = totals.get(k, 0.0) + float(np.sum(np.asarray(v)[mask]))
+            count += int(mask.sum())
         if not count:
             return {}
         out = {f"val_{k}" if k != "loss" else "val_loss": v / count for k, v in totals.items()}
@@ -344,6 +378,7 @@ class Trainer:
         model.py:132-146): predict every test batch, accumulate into the COCO
         evaluator, return ``[{"AP": stats[0]}]``-style results."""
         self._ensure_state(model)
+        self._fit_mesh_to_batch(int(model.hparams.dataloader.test_bs))
         _, _, predict_step = self._build_steps(model)
         evaluator = model.test_evaluator()
         loader = model.test_dataloader()
@@ -357,6 +392,8 @@ class Trainer:
             )
             predictions = {}
             for i, image_id in enumerate(batch["image_ids"]):
+                if not batch["batch_mask"][i]:
+                    continue  # padding row of the final partial batch
                 n = int(det.valid[i].sum())
                 boxes = np.asarray(
                     rescale_boxes(

@@ -11,6 +11,13 @@ fusion XLA cannot be relied on to find across a ``while_loop``.
 K is the pre-NMS candidate count (default 1000 → padded to 1024 lanes);
 [1024 x 1024] f32 is 4 MB — comfortably inside the ~16 MB VMEM budget.
 
+Mosaic notes (why the kernel is shaped this way):
+  * the fixpoint ``while_loop`` carries ONLY a scalar pair (iteration count,
+    changed flag); the evolving keep vector lives in a VMEM scratch ref.
+    Loop-carried large vectors (especially i1) fail Mosaic legalization.
+  * each iteration computes ``suppressed = suppressᵀ · keep`` as a [K,K]x[K,1]
+    MXU matvec (f32 0/1 masks) instead of boolean reductions.
+
 The fixpoint iterates ``keep[j] = valid[j] & no kept i<j suppresses j`` from
 ``keep = valid``; it converges to exactly the sequential greedy result in
 (suppression-chain-depth) iterations (see ops/nms.py docstring for the
@@ -34,50 +41,54 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_thr: float, k: int):
-    boxes = boxes_ref[:]  # [K, 4] f32 (lane-padded by BlockSpec)
-    valid = valid_ref[:] > 0  # [K, 1] bool
+def _nms_kernel(
+    boxes_ref, valid_ref, out_ref, suppt_ref, keep_ref, *, iou_thr: float, k: int
+):
+    boxes = boxes_ref[:]  # [K, 4] f32
+    valid = valid_ref[:].astype(jnp.float32)  # [K, 1] 0/1
 
     x1, y1 = boxes[:, 0:1], boxes[:, 1:2]
     x2, y2 = boxes[:, 2:3], boxes[:, 3:4]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # [K, 1]
 
-    # Pairwise IoU [K, K] on the VPU (8x128 tiles), built from rank-2 outers.
-    ix = jnp.maximum(
-        jnp.minimum(x2, x2.T) - jnp.maximum(x1, x1.T), 0.0
-    )
-    iy = jnp.maximum(
-        jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0
-    )
+    # Pairwise IoU [K, K] on the VPU from rank-2 broadcasts.
+    ix = jnp.maximum(jnp.minimum(x2, x2.T) - jnp.maximum(x1, x1.T), 0.0)
+    iy = jnp.maximum(jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0)
     inter = ix * iy
     union = area + area.T - inter
     iou = inter / jnp.maximum(union, 1e-12)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     jdx = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    vrow = valid  # [K, 1]
-    suppress = (
-        (iou > iou_thr) & (idx < jdx) & vrow & vrow.reshape(1, k)
-    )  # [K, K]: i can suppress j
-
-    valid_col = valid.reshape(1, k)  # [1, K]
+    # suppt[j, i] = 1 if i (higher score) can suppress j — transposed so the
+    # per-iteration matvec (suppt · keep) runs straight on the MXU.
+    suppt_ref[:] = jnp.where(
+        (iou > iou_thr) & (idx > jdx),  # rows j, cols i with i < j
+        1.0,
+        0.0,
+    ) * valid * valid.T  # mask both endpoints; [K(j), K(i)]
+    keep_ref[:] = valid
 
     def cond(state):
-        keep, prev, it = state
-        return jnp.logical_and(jnp.any(keep != prev), it < k)
+        it, changed = state
+        return jnp.logical_and(changed > 0, it < k)
 
     def body(state):
-        keep, _, it = state
-        # suppressed[j] = any_i suppress[i, j] & keep[i]
-        suppressed = jnp.max(
-            jnp.where(suppress & keep.reshape(k, 1), 1.0, 0.0), axis=0, keepdims=True
-        )  # [1, K]
-        new_keep = valid_col & (suppressed < 0.5)
-        return new_keep, keep, it + 1
+        it, _ = state
+        keep = keep_ref[:]  # [K, 1] f32
+        suppressed = jax.lax.dot_general(
+            suppt_ref[:],
+            keep,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, 1]: #kept higher-score suppressors of j
+        new_keep = valid * jnp.where(suppressed > 0.5, 0.0, 1.0)
+        changed = jnp.sum(jnp.abs(new_keep - keep)) > 0.0
+        keep_ref[:] = new_keep
+        return it + 1, changed.astype(jnp.int32)
 
-    init = (valid_col, jnp.zeros_like(valid_col), jnp.int32(0))
-    keep, _, _ = jax.lax.while_loop(cond, body, init)
-    out_ref[:] = keep.reshape(k, 1).astype(jnp.int32)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    out_ref[:] = (keep_ref[:] > 0.5).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr",))
@@ -109,6 +120,10 @@ def pallas_nms_keep_mask(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k, k), jnp.float32),  # transposed suppression matrix
+            pltpu.VMEM((k, 1), jnp.float32),  # evolving keep vector
+        ],
     )(boxes_p, valid_p)
     return out[:k0, 0] > 0
 

@@ -10,6 +10,7 @@ from .backbone import (
     backbone_out_channels,
 )
 from .converter import load_torch_resnet, torch_resnet_to_flax
+from .zoo import MODEL_URLS, fetch_backbone_weights
 from .fpn import FeaturePyramid
 from .head import RetinaNetHead
 from .retinanet import (
@@ -60,6 +61,8 @@ __all__ = [
     "RetinaNetHead",
     "RetinaNetModule",
     "backbone_out_channels",
+    "MODEL_URLS",
+    "fetch_backbone_weights",
     "load_torch_resnet",
     "resize_to_bucket",
     "resolution_buckets",

@@ -66,7 +66,9 @@ class RetinaNetHead(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pyramid: List[Array]) -> Tuple[Array, Array]:
+    def __call__(
+        self, pyramid: List[Array], return_levels: bool = False
+    ) -> Tuple[Array, Array]:
         cls_subnet = _Subnet(
             self.channels,
             self.num_anchors * self.num_classes,
@@ -89,7 +91,12 @@ class RetinaNetHead(nn.Module):
             b = box_subnet(level)  # [N, H, W, A*4]
             cls_out.append(c.reshape(n, -1, self.num_classes))
             box_out.append(b.reshape(n, -1, 4))
-        # Predictions feed the f32 loss/decode; cast up at the boundary.
+        if return_levels:
+            # Inference path: per-level outputs (compute dtype) so the
+            # postprocess can top-k before any cross-level concat.
+            return cls_out, box_out
+        # Training path: concat for the dense loss over all anchors; the f32
+        # cast happens at the loss boundary.
         return (
             jnp.concatenate(cls_out, axis=1).astype(jnp.float32),
             jnp.concatenate(box_out, axis=1).astype(jnp.float32),

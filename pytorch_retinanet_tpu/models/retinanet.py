@@ -40,8 +40,9 @@ from ..config import ifnone
 from ..ops import (
     Detections,
     generate_anchors,
+    generate_anchors_per_level,
     num_anchors_per_location,
-    process_detections_batch,
+    process_detections_multilevel_batch,
     rescale_boxes,
     retinanet_loss,
 )
@@ -70,7 +71,9 @@ class RetinaNetModule(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: Array, train: bool = False) -> Tuple[Array, Array]:
+    def __call__(
+        self, images: Array, train: bool = False, return_levels: bool = False
+    ) -> Tuple[Array, Array]:
         mean = jnp.asarray(self.mean, dtype=jnp.float32)
         std = jnp.asarray(self.std, dtype=jnp.float32)
         x = (images.astype(jnp.float32) - mean) / std
@@ -95,7 +98,7 @@ class RetinaNetModule(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="head",
-        )(pyramid)
+        )(pyramid, return_levels)
 
 
 def _ceil32(v: int) -> int:
@@ -205,8 +208,12 @@ class Retinanet:
             jnp.zeros((1, init_size[0], init_size[1], 3), jnp.float32),
         )
         self.variables = variables
-        if self.pretrained and pretrained_path:
-            self.load_torch_backbone(pretrained_path)
+        if self.pretrained:
+            from .zoo import fetch_backbone_weights
+
+            resolved = fetch_backbone_weights(self.backbone_kind, pretrained_path)
+            if resolved:
+                self.load_torch_backbone(resolved)
 
         self._predict_fn = jax.jit(self._predict_impl)
         self._loss_fn = jax.jit(self._loss_impl)
@@ -232,12 +239,17 @@ class Retinanet:
         )
 
     def _predict_impl(self, variables, images, image_sizes) -> Detections:
-        cls_logits, box_deltas = self.module.apply(variables, images, False)
-        anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
-        return process_detections_batch(
-            cls_logits,
-            box_deltas,
-            anchors,
+        cls_levels, box_levels = self.module.apply(
+            variables, images, False, return_levels=True
+        )
+        anchors_levels = [
+            jnp.asarray(a)
+            for a in generate_anchors_per_level(tuple(images.shape[1:3]))
+        ]
+        return process_detections_multilevel_batch(
+            cls_levels,
+            box_levels,
+            anchors_levels,
             image_sizes,
             score_thres=self.score_thres,
             nms_thres=self.nms_thres,
@@ -247,14 +259,19 @@ class Retinanet:
     # ------------------------------------------------------------------ #
     # Reference-parity API
     # ------------------------------------------------------------------ #
-    def forward(
-        self, images: Array, targets: Dict[str, Array]
-    ) -> Dict[str, Array]:
-        """Training losses for a padded batch (reference models.py:274-288).
+    def forward(self, images, targets) -> Dict[str, Array]:
+        """Training losses (reference models.py:274-288).
 
-        `targets` is the padded dict {"boxes" [B,N,4], "labels" [B,N],
-        "valid" [B,N]} produced by the data pipeline's collate.
+        Two input forms:
+          * padded batch: ``images [B,H,W,3]`` + targets dict
+            {"boxes" [B,N,4], "labels" [B,N], "valid" [B,N]} — the data
+            pipeline's native form;
+          * ragged reference form: a list of HWC images + a list of per-image
+            target dicts {"boxes" [n,4], "labels" [n]} (the reference's
+            ``forward(List[Tensor], List[Dict])``) — resized/padded here.
         """
+        if isinstance(images, (list, tuple)):
+            images, targets = self._pad_ragged(images, targets)
         return self._loss_fn(
             self.variables,
             images,
@@ -262,6 +279,43 @@ class Retinanet:
             targets["labels"],
             targets["valid"],
         )
+
+    def _pad_ragged(self, images, targets):
+        """Reference-style ragged inputs → fixed-shape padded batch."""
+        from .. import config as C_
+
+        padded_imgs, padded_boxes, padded_labels, padded_valid = [], [], [], []
+        for img, tgt in zip(images, targets):
+            img = np.asarray(img)
+            orig_h, orig_w = img.shape[:2]
+            padded, (new_h, new_w), _ = resize_to_bucket(
+                img, self.min_size, self.max_size
+            )
+            boxes = np.asarray(tgt["boxes"], np.float32).reshape(-1, 4)
+            if len(boxes):
+                sx, sy = new_w / orig_w, new_h / orig_h
+                boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+            n = min(len(boxes), C_.MAX_GT_BOXES)
+            b = np.zeros((C_.MAX_GT_BOXES, 4), np.float32)
+            l = np.zeros((C_.MAX_GT_BOXES,), np.int32)
+            v = np.zeros((C_.MAX_GT_BOXES,), bool)
+            b[:n] = boxes[:n]
+            l[:n] = np.asarray(tgt["labels"]).reshape(-1)[:n]
+            v[:n] = True
+            padded_imgs.append(padded)
+            padded_boxes.append(b)
+            padded_labels.append(l)
+            padded_valid.append(v)
+        max_h = max(i.shape[0] for i in padded_imgs)
+        max_w = max(i.shape[1] for i in padded_imgs)
+        batch = np.zeros((len(padded_imgs), max_h, max_w, 3), np.float32)
+        for i, im in enumerate(padded_imgs):
+            batch[i, : im.shape[0], : im.shape[1]] = im
+        return jnp.asarray(batch), {
+            "boxes": jnp.asarray(np.stack(padded_boxes)),
+            "labels": jnp.asarray(np.stack(padded_labels)),
+            "valid": jnp.asarray(np.stack(padded_valid)),
+        }
 
     __call__ = forward
 

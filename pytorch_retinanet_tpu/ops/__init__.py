@@ -3,6 +3,7 @@
 from .anchors import (
     feature_grid_sizes,
     generate_anchors,
+    generate_anchors_per_level,
     generate_cell_anchors,
     num_anchors_per_location,
 )
@@ -19,7 +20,14 @@ from .boxes import (
 )
 from .losses import retinanet_loss, sigmoid_focal_loss, smooth_l1_loss
 from .matcher import BACKGROUND, IGNORE, MatchResult, match_anchors, match_anchors_batch
-from .nms import Detections, nms_keep_mask, process_detections, process_detections_batch
+from .nms import (
+    Detections,
+    nms_keep_mask,
+    process_detections,
+    process_detections_batch,
+    process_detections_multilevel,
+    process_detections_multilevel_batch,
+)
 
 __all__ = [
     "BACKGROUND",
@@ -34,6 +42,7 @@ __all__ = [
     "encode_boxes",
     "feature_grid_sizes",
     "generate_anchors",
+    "generate_anchors_per_level",
     "generate_cell_anchors",
     "match_anchors",
     "match_anchors_batch",
@@ -41,6 +50,8 @@ __all__ = [
     "num_anchors_per_location",
     "process_detections",
     "process_detections_batch",
+    "process_detections_multilevel",
+    "process_detections_multilevel_batch",
     "rescale_boxes",
     "retinanet_loss",
     "sigmoid_focal_loss",

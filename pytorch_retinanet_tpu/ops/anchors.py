@@ -61,6 +61,34 @@ def generate_cell_anchors(
 
 
 @functools.lru_cache(maxsize=32)
+def generate_anchors_per_level(
+    image_size: Tuple[int, int],
+    sizes: Tuple[Tuple[float, ...], ...] = tuple(tuple(s) for s in ANCHOR_SIZES),
+    aspect_ratios: Tuple[float, ...] = tuple(ANCHOR_ASPECT_RATIOS),
+    strides: Tuple[int, ...] = tuple(ANCHOR_STRIDES),
+    offset: float = ANCHOR_OFFSET,
+) -> Tuple[np.ndarray, ...]:
+    """Per-level anchors for one padded image size: tuple of [A_l, 4] f32 XYXY.
+
+    The multilevel inference postprocess consumes these level-by-level
+    (per-level top-k before any cross-level concat); the training path concats
+    them via :func:`generate_anchors`.
+    """
+    grid_sizes = feature_grid_sizes(image_size, strides)
+    per_level = []
+    for (gh, gw), stride, level_sizes in zip(grid_sizes, strides, sizes):
+        base = generate_cell_anchors(level_sizes, aspect_ratios)  # [A, 4]
+        shift_x = (np.arange(gw, dtype=np.float32) + offset) * stride
+        shift_y = (np.arange(gh, dtype=np.float32) + offset) * stride
+        # y-outer, x-inner (reference meshgrid order, anchors.py:158-170)
+        sx, sy = np.meshgrid(shift_x, shift_y)  # each [gh, gw]
+        shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
+        anchors = (shifts + base[None, :, :]).reshape(-1, 4)
+        per_level.append(anchors.astype(np.float32))
+    return tuple(per_level)
+
+
+@functools.lru_cache(maxsize=32)
 def generate_anchors(
     image_size: Tuple[int, int],
     sizes: Tuple[Tuple[float, ...], ...] = tuple(tuple(s) for s in ANCHOR_SIZES),
@@ -74,18 +102,10 @@ def generate_anchors(
     Cached: the first trace per resolution bucket pays the numpy cost, every
     subsequent trace reuses the array (and XLA sees it as a constant).
     """
-    grid_sizes = feature_grid_sizes(image_size, strides)
-    per_level = []
-    for (gh, gw), stride, level_sizes in zip(grid_sizes, strides, sizes):
-        base = generate_cell_anchors(level_sizes, aspect_ratios)  # [A, 4]
-        shift_x = (np.arange(gw, dtype=np.float32) + offset) * stride
-        shift_y = (np.arange(gh, dtype=np.float32) + offset) * stride
-        # y-outer, x-inner (reference meshgrid order, anchors.py:158-170)
-        sx, sy = np.meshgrid(shift_x, shift_y)  # each [gh, gw]
-        shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
-        anchors = (shifts + base[None, :, :]).reshape(-1, 4)
-        per_level.append(anchors)
-    return np.concatenate(per_level, axis=0).astype(np.float32)
+    return np.concatenate(
+        generate_anchors_per_level(image_size, sizes, aspect_ratios, strides, offset),
+        axis=0,
+    )
 
 
 def num_anchors_per_location(

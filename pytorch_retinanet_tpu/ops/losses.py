@@ -93,6 +93,7 @@ def retinanet_loss(
     gamma: float = FOCAL_LOSS_GAMMA,
     beta: float = SMOOTH_L1_LOSS_BETA,
     reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+    reduction: str = "mean",
 ) -> Dict[str, Array]:
     """Full RetinaNet loss over a padded batch.
 
@@ -103,10 +104,13 @@ def retinanet_loss(
       gt_boxes: [B, N, 4] XYXY ground truth, padded to static N.
       gt_labels: [B, N] int labels in [1, num_classes] (0 = background slot).
       gt_valid: [B, N] bool mask of real GT rows.
+      reduction: "mean" (batch-averaged scalars, reference losses.py:138-140)
+        or "none" (per-image [B] losses — used by the eval loop to mask
+        padded batch rows).
 
     Returns:
-      {"classification_loss": scalar, "regression_loss": scalar} — same keys as
-      the reference (losses.py:143-144), each batch-averaged.
+      {"classification_loss", "regression_loss"} — same keys as the reference
+      (losses.py:143-144).
     """
     cls_logits = cls_logits.astype(jnp.float32)
     box_deltas = box_deltas.astype(jnp.float32)
@@ -129,7 +133,7 @@ def retinanet_loss(
     reg_per_image = jnp.sum(
         jnp.sum(reg_elem, axis=-1) * fg_mask.astype(jnp.float32), axis=1
     )  # [B]
-    regression_loss = jnp.mean(reg_per_image / norm)
+    regression_loss = reg_per_image / norm
 
     # ---- Classification: focal loss on non-ignored anchors ---- #
     # Foreground anchors get one-hot(label - 1) over C classes; background all-zero.
@@ -140,8 +144,11 @@ def retinanet_loss(
     cls_elem = sigmoid_focal_loss(cls_logits, cls_targets, alpha, gamma)  # [B, A, C]
     not_ignored = (matches >= -1).astype(jnp.float32)  # [B, A]
     cls_per_image = jnp.sum(jnp.sum(cls_elem, axis=-1) * not_ignored, axis=1)  # [B]
-    classification_loss = jnp.mean(cls_per_image / norm)
+    classification_loss = cls_per_image / norm
 
+    if reduction == "mean":
+        classification_loss = jnp.mean(classification_loss)
+        regression_loss = jnp.mean(regression_loss)
     return {
         "classification_loss": classification_loss,
         "regression_loss": regression_loss,

@@ -163,6 +163,107 @@ def process_detections(
     return Detections(det_boxes, det_scores, det_labels, det_valid)
 
 
+def process_detections_multilevel(
+    cls_levels: Sequence[Array],
+    box_levels: Sequence[Array],
+    anchors_levels: Sequence[Array],
+    image_size: Array,
+    *,
+    score_thres: float = SCORE_THRES,
+    nms_thres: float = NMS_THRES,
+    max_detections: int = MAX_DETECTIONS_PER_IMAGE,
+    pre_nms_top_k: int = PRE_NMS_TOP_K,
+    reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+    max_coordinate: float = 4096.0,
+    use_pallas: bool | None = None,
+    approx_top_k: bool = True,
+) -> Detections:
+    """Fused postprocess for ONE image from per-level head outputs.
+
+    Performance-oriented variant of :func:`process_detections`: candidate
+    selection runs per pyramid level BEFORE any cross-level concat (top-k over
+    each level's [A_l*C] logits — sigmoid is monotonic so selecting on raw
+    logits is identical), then the per-level candidates merge through one more
+    top-k. This avoids materializing the [A_total, C] score matrix (~17M f32
+    at 800px x 90 classes) that dominated the single-tensor path's HBM traffic.
+
+    ``approx_top_k`` uses ``jax.lax.approx_max_k`` (TPU-native bucketed top-k,
+    ~recall 0.95 at the margin) for the big per-level selections; the mAP
+    effect is nil because only near-threshold candidates can be missed, but
+    set False for bit-exact parity with the reference's selection.
+    """
+    num_classes = cls_levels[0].shape[-1]
+    cand_scores, cand_boxes, cand_classes = [], [], []
+    for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
+        flat = cls_l.reshape(-1).astype(jnp.float32)  # [A_l * C] logits
+        k_l = min(pre_nms_top_k, flat.shape[0])
+        if approx_top_k and flat.shape[0] > 4 * k_l:
+            s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
+        else:
+            s_l, idx_l = jax.lax.top_k(flat, k_l)
+        a_idx = idx_l // num_classes
+        c_idx = (idx_l % num_classes).astype(jnp.int32)
+        b_l = decode_boxes(
+            box_l.reshape(-1, 4).astype(jnp.float32)[a_idx],
+            anc_l[a_idx],
+            reg_weights,
+        )
+        cand_scores.append(s_l)
+        cand_boxes.append(b_l)
+        cand_classes.append(c_idx)
+
+    scores_all = jnp.concatenate(cand_scores)  # logits, descending per level
+    boxes_all = jnp.concatenate(cand_boxes)
+    classes_all = jnp.concatenate(cand_classes)
+    k = min(pre_nms_top_k, scores_all.shape[0])
+    top_logits, top_idx = jax.lax.top_k(scores_all, k)
+    top_scores = jax.nn.sigmoid(top_logits)
+    boxes = clip_boxes(boxes_all[top_idx], image_size)
+    class_idx = classes_all[top_idx]
+
+    valid = (top_scores > score_thres) & small_box_mask(boxes)
+    offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
+    if use_pallas is None:
+        from ..kernels import tpu_available
+
+        use_pallas = tpu_available()
+    if use_pallas:
+        from ..kernels import pallas_nms_keep_mask
+
+        keep = pallas_nms_keep_mask(boxes + offsets[:, None], valid, nms_thres)
+    else:
+        keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
+
+    sel_scores = jnp.where(keep, top_scores, -1.0)
+    det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)
+    det_valid = det_scores > 0.0
+    det_boxes = jnp.where(det_valid[:, None], boxes[det_idx], 0.0)
+    det_labels = jnp.where(det_valid, class_idx[det_idx] + 1, 0)
+    det_scores = jnp.maximum(det_scores, 0.0)
+    return Detections(det_boxes, det_scores, det_labels, det_valid)
+
+
+def process_detections_multilevel_batch(
+    cls_levels: Sequence[Array],
+    box_levels: Sequence[Array],
+    anchors_levels: Sequence[Array],
+    image_sizes: Array,
+    **kwargs,
+) -> Detections:
+    """Batched multilevel postprocess: per-level [B, HWA_l, C] logits."""
+    n_levels = len(cls_levels)
+
+    def one(args):
+        cls_l = args[:n_levels]
+        box_l = args[n_levels : 2 * n_levels]
+        size = args[-1]
+        return process_detections_multilevel(
+            cls_l, box_l, anchors_levels, size, **kwargs
+        )
+
+    return jax.vmap(one)(tuple(cls_levels) + tuple(box_levels) + (image_sizes,))
+
+
 def process_detections_batch(
     cls_logits: Array,
     box_deltas: Array,

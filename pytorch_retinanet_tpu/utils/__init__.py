@@ -14,6 +14,43 @@ from .visualize import (
 )
 
 
+def load_obj(obj_path: str, default_obj_path: str = "") -> object:
+    """Dotted-path object import (reference load_obj,
+    utils/detection_utils.py:12-29).
+
+    Kept for API parity; the framework's own config resolution goes through
+    explicit registries (engine.optim, data.transforms) instead of arbitrary
+    imports, and torch/albumentations dotted names are transparently remapped
+    to their registry equivalents so reference YAML configs keep working.
+    """
+    from ..data.transforms import TRANSFORM_REGISTRY
+    from ..engine.optim import OPTIMIZER_REGISTRY, SCHEDULER_REGISTRY
+
+    for registry in (TRANSFORM_REGISTRY, OPTIMIZER_REGISTRY, SCHEDULER_REGISTRY):
+        if obj_path in registry:
+            return registry[obj_path]
+
+    import importlib
+
+    obj_path_list = obj_path.rsplit(".", 1)
+    module_path = obj_path_list.pop(0) if len(obj_path_list) > 1 else default_obj_path
+    obj_name = obj_path_list[0]
+    module = importlib.import_module(module_path)
+    if not hasattr(module, obj_name):
+        raise AttributeError(f"Object `{obj_name}` cannot be loaded from `{module_path}`.")
+    return getattr(module, obj_name)
+
+
+def collate_fn(batch):
+    """Ragged tuple collate (reference collate_fn, utils/detection_utils.py:7-9).
+
+    Kept for API parity with user code that builds its own loaders; the
+    framework's device path uses :class:`..data.DetectionLoader`'s fixed-shape
+    batches instead.
+    """
+    return tuple(zip(*batch))
+
+
 def seed_everything(seed: int) -> int:
     """Deterministic seeding across python/numpy (pl.seed_everything parity,
     used by the reference demo notebook). JAX randomness is key-based, so the
@@ -34,7 +71,9 @@ __all__ = [
     "ProfilerHook",
     "STANDARD_COLORS",
     "SmoothedValue",
+    "collate_fn",
     "draw_bounding_box_on_image",
+    "load_obj",
     "seed_everything",
     "visualize_boxes_and_labels_on_image_array",
 ]
