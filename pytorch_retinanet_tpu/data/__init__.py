@@ -16,9 +16,14 @@ from .pascal import (
 )
 from .transforms import (
     TRANSFORM_REGISTRY,
+    Blur,
     Compose,
+    GaussNoise,
     HorizontalFlip,
+    HueSaturationValue,
     RandomBrightnessContrast,
+    RandomCrop,
+    Resize,
     ShiftScaleRotate,
     ToFloat,
     Transform,
@@ -27,9 +32,14 @@ from .transforms import (
 )
 
 __all__ = [
+    "Blur",
     "COCOIndex",
     "CocoDetectionDataset",
     "Compose",
+    "GaussNoise",
+    "HueSaturationValue",
+    "RandomCrop",
+    "Resize",
     "DetectionLoader",
     "HorizontalFlip",
     "PascalDataset",

@@ -152,6 +152,127 @@ class ShiftScaleRotate(Transform):
         return image, boxes, labels
 
 
+class Resize(Transform):
+    """Resize to (height, width), scaling boxes (albumentations.Resize parity)."""
+
+    def __init__(self, height: int, width: int, p: float = 1.0):
+        self.height = height
+        self.width = width
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        import cv2
+
+        h, w = image.shape[:2]
+        image = cv2.resize(image, (self.width, self.height), interpolation=cv2.INTER_LINEAR)
+        if len(boxes):
+            sx, sy = self.width / w, self.height / h
+            boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        return image, boxes, labels
+
+
+class RandomCrop(Transform):
+    """Random fixed-size crop; boxes clipped, empty ones dropped
+    (albumentations.RandomCrop parity for detection)."""
+
+    def __init__(self, height: int, width: int, p: float = 1.0):
+        self.height = height
+        self.width = width
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() >= self.p:
+            return image, boxes, labels
+        h, w = image.shape[:2]
+        ch, cw = min(self.height, h), min(self.width, w)
+        y0 = random.randint(0, h - ch)
+        x0 = random.randint(0, w - cw)
+        image = image[y0 : y0 + ch, x0 : x0 + cw]
+        if len(boxes):
+            boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
+            boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, cw)
+            boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0, ch)
+            keep = (boxes[:, 2] - boxes[:, 0] > 1) & (boxes[:, 3] - boxes[:, 1] > 1)
+            boxes, labels = boxes[keep], labels[keep]
+        return np.ascontiguousarray(image), boxes, labels
+
+
+class Blur(Transform):
+    """Box blur with random kernel size (albumentations.Blur parity)."""
+
+    def __init__(self, blur_limit: int = 7, p: float = 0.5):
+        self.blur_limit = max(3, int(blur_limit))
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            import cv2
+
+            k = random.choice(range(3, self.blur_limit + 1, 2))
+            image = cv2.blur(image, (k, k))
+        return image, boxes, labels
+
+
+class GaussNoise(Transform):
+    """Additive gaussian noise (albumentations.GaussNoise parity; var_limit in
+    [0,255]^2 units like albumentations, applied to [0,1] floats)."""
+
+    def __init__(self, var_limit=(10.0, 50.0), p: float = 0.5):
+        self.var_limit = var_limit
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            var = random.uniform(*self.var_limit)
+            sigma = (var**0.5) / 255.0
+            noise = np.random.default_rng(random.getrandbits(32)).normal(
+                0.0, sigma, image.shape
+            )
+            image = np.clip(image.astype(np.float32) + noise, 0, 1).astype(np.float32)
+        return image, boxes, labels
+
+
+class HueSaturationValue(Transform):
+    """HSV jitter (albumentations.HueSaturationValue parity; limits in
+    albumentations' uint8 units)."""
+
+    def __init__(
+        self,
+        hue_shift_limit: float = 20,
+        sat_shift_limit: float = 30,
+        val_shift_limit: float = 20,
+        p: float = 0.5,
+    ):
+        self.hue_shift_limit = hue_shift_limit
+        self.sat_shift_limit = sat_shift_limit
+        self.val_shift_limit = val_shift_limit
+        self.p = p
+
+    def __call__(self, image, boxes, labels) -> Sample:
+        if random.random() < self.p:
+            import cv2
+
+            was_float = image.dtype != np.uint8
+            img8 = (
+                (np.clip(image, 0, 1) * 255).astype(np.uint8) if was_float else image
+            )
+            hsv = cv2.cvtColor(img8, cv2.COLOR_RGB2HSV).astype(np.int16)
+            hsv[..., 0] = (hsv[..., 0] + random.uniform(
+                -self.hue_shift_limit, self.hue_shift_limit
+            )) % 180
+            hsv[..., 1] = np.clip(
+                hsv[..., 1] + random.uniform(-self.sat_shift_limit, self.sat_shift_limit),
+                0, 255,
+            )
+            hsv[..., 2] = np.clip(
+                hsv[..., 2] + random.uniform(-self.val_shift_limit, self.val_shift_limit),
+                0, 255,
+            )
+            out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+            image = out.astype(np.float32) / 255.0 if was_float else out
+        return image, boxes, labels
+
+
 class ToFloat(Transform):
     """uint8 [0,255] → float32 [0,1] (albumentations.ToFloat parity; appended
     automatically by the reference's compose, pascal_transforms.py:12-13)."""
@@ -169,12 +290,17 @@ class ToFloat(Transform):
 # the reference's hparams.yaml uses (hparams.yaml:48-62).
 TRANSFORM_REGISTRY: Dict[str, type] = {}
 for _cls in (
+    Blur,
     Compose,
+    GaussNoise,
     HorizontalFlip,
-    VerticalFlip,
+    HueSaturationValue,
     RandomBrightnessContrast,
+    RandomCrop,
+    Resize,
     ShiftScaleRotate,
     ToFloat,
+    VerticalFlip,
 ):
     TRANSFORM_REGISTRY[_cls.__name__] = _cls
     TRANSFORM_REGISTRY[f"albumentations.{_cls.__name__}"] = _cls

@@ -226,6 +226,19 @@ class ReduceLROnPlateau(LRScheduler):
         return self.lr
 
 
+def warmup_scale(step: int, warmup_steps: int, warmup_factor: float) -> float:
+    """Linear LR warmup multiplier (reference warmup_lr_scheduler,
+    utils/coco/detection_utils.py:237-244: factor -> 1 over warmup_steps).
+
+    RetinaNet training diverges without it: random-init heads produce huge
+    box-regression gradients in the first few hundred steps (the Focal Loss
+    paper and torchvision both warm up)."""
+    if warmup_steps <= 0 or step >= warmup_steps:
+        return 1.0
+    alpha = step / warmup_steps
+    return warmup_factor * (1.0 - alpha) + alpha
+
+
 SCHEDULER_REGISTRY: Dict[str, type] = {}
 for _name, _cls in {
     "CosineAnnealingLR": CosineAnnealingLR,

@@ -75,6 +75,9 @@ class Trainer:
         resume_from_checkpoint: Optional[str] = None,
         val_check_interval: int = 1,
         log_every_n_steps: int = 50,
+        gradient_clip_val: Optional[float] = None,
+        warmup_steps: int = 500,
+        warmup_factor: float = 0.001,
         profile_dir: Optional[str] = None,
         mesh: Optional[MeshPlan] = None,
         devices: Optional[Sequence[Any]] = None,
@@ -93,6 +96,9 @@ class Trainer:
             self.callbacks.append(ModelCheckpoint(checkpoint_dir))
         self.resume_from_checkpoint = resume_from_checkpoint
         self.val_check_interval = val_check_interval
+        self.gradient_clip_val = gradient_clip_val
+        self.warmup_steps = warmup_steps
+        self.warmup_factor = warmup_factor
         self.logger_ = MetricLogger(print_freq=log_every_n_steps)
         self.profiler = ProfilerHook(profile_dir)
         self.mesh = mesh or make_mesh(devices)
@@ -100,6 +106,7 @@ class Trainer:
         self.current_epoch = 0
         self.global_step = 0
         self.current_lr = 0.0
+        self._sched_lr = 0.0
         self.state: Optional[TrainState] = None
         self._model: Optional[RetinaNetModel] = None
         self._optimizer = None
@@ -115,6 +122,7 @@ class Trainer:
         num_classes = net.num_classes
         mutable_bn = not net.freeze_bn
         optimizer = self._optimizer
+        clip_val = self.gradient_clip_val
 
         def variables_of(state: TrainState):
             v = {"params": state.params}
@@ -148,6 +156,10 @@ class Trainer:
             (total, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            if clip_val:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, clip_val / jnp.maximum(gnorm, 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             updates, new_opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -291,7 +303,8 @@ class Trainer:
         self.state = self._init_state(model)
         if self.resume_from_checkpoint:
             self.restore_checkpoint(self.resume_from_checkpoint)
-        self.current_lr = current_learning_rate(self.state.opt_state)
+        self._sched_lr = current_learning_rate(self.state.opt_state)
+        self.current_lr = self._sched_lr
 
         train_loader = model.train_dataloader()
         metrics: Dict[str, float] = {}
@@ -304,6 +317,7 @@ class Trainer:
             for batch in self.logger_.log_every(
                 train_loader, header=f"epoch {epoch}"
             ):
+                self._apply_warmup()
                 db = self._device_batch(batch)
                 self.state, step_metrics = train_step(
                     self.state, db["images"], db["boxes"], db["labels"], db["valid"]
@@ -338,8 +352,27 @@ class Trainer:
         self._sync_model(model)
         return metrics
 
+    def _apply_warmup(self) -> None:
+        """Linear LR warmup over the first `warmup_steps` optimizer steps
+        (reference warmup_lr_scheduler, detection_utils.py:237-244) — without
+        it RetinaNet's random-init heads blow up the box-regression gradients
+        and the loss NaNs within tens of steps."""
+        from .optim import warmup_scale
+
+        scale = warmup_scale(self.global_step, self.warmup_steps, self.warmup_factor)
+        lr = self._sched_lr * scale
+        if lr != self.current_lr:
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, lr)
+            )
+            self.current_lr = lr
+
     def _step_scheduler(self, monitor_value: Optional[float]) -> None:
-        lr = self._scheduler.step(monitor_value)
+        from .optim import warmup_scale
+
+        self._sched_lr = self._scheduler.step(monitor_value)
+        scale = warmup_scale(self.global_step, self.warmup_steps, self.warmup_factor)
+        lr = self._sched_lr * scale
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr)
         )

@@ -76,7 +76,10 @@ def conf(csv_dataset):
 def fitted(conf, tmp_path_factory):
     ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
     model = RetinaNetModel(conf)
-    trainer = Trainer(max_epochs=2, checkpoint_dir=ckpt_dir, val_check_interval=1)
+    trainer = Trainer(
+        max_epochs=2, checkpoint_dir=ckpt_dir, val_check_interval=1,
+        warmup_steps=0,  # exact-LR assertions below
+    )
     metrics = trainer.fit(model)
     return model, trainer, metrics, ckpt_dir
 

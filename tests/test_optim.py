@@ -14,7 +14,19 @@ from pytorch_retinanet_tpu.engine.optim import (
     build_scheduler,
     current_learning_rate,
     set_learning_rate,
+    warmup_scale,
 )
+
+
+class TestWarmup:
+    def test_ramp_and_saturation(self):
+        assert warmup_scale(0, 100, 0.001) == pytest.approx(0.001)
+        assert warmup_scale(50, 100, 0.001) == pytest.approx(0.001 * 0.5 + 0.5)
+        assert warmup_scale(100, 100, 0.001) == 1.0
+        assert warmup_scale(5000, 100, 0.001) == 1.0
+
+    def test_disabled(self):
+        assert warmup_scale(0, 0, 0.001) == 1.0
 
 
 class TestSchedulers:
