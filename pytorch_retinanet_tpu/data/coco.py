@@ -92,10 +92,45 @@ class COCOIndex:
         return COCOIndex(res)
 
 
+def _polygons_to_mask(segmentation, height: int, width: int) -> np.ndarray:
+    """Rasterize COCO polygon segmentation into a binary mask.
+
+    Dependency-free replacement for pycocotools' ``frPyObjects``+``decode``
+    used by the reference (coco_utils.py:25-45 ``convert_coco_poly_to_mask``);
+    cv2.fillPoly implements the same even-odd polygon fill. RLE-dict
+    segmentations (crowd regions) decode via the counts expansion below.
+    """
+    import cv2
+
+    mask = np.zeros((height, width), np.uint8)
+    if isinstance(segmentation, dict):  # uncompressed RLE {counts, size}
+        counts = segmentation.get("counts")
+        if isinstance(counts, list):
+            flat = np.zeros(height * width, np.uint8)
+            pos, val = 0, 0
+            for run in counts:
+                if val:
+                    flat[pos : pos + run] = 1
+                pos += run
+                val ^= 1
+            # COCO RLE is column-major
+            mask = flat.reshape((width, height)).T.copy()
+        return mask
+    for poly in segmentation:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask
+
+
 def _coco_target_to_arrays(
-    anns: List[dict], height: int, width: int
+    anns: List[dict],
+    height: int,
+    width: int,
+    return_masks: bool = False,
+    return_keypoints: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """xywh→xyxy, clamp to image, drop crowd + degenerate boxes
+    """xywh→xyxy, clamp to image, drop crowd + degenerate boxes; optional
+    polygon→mask and keypoint extraction
     (reference ConvertCocoPolysToMask, coco_utils.py:48-101)."""
     anns = [a for a in anns if a.get("iscrowd", 0) == 0]
     boxes = np.asarray([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
@@ -106,12 +141,30 @@ def _coco_target_to_arrays(
     keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
     boxes, labels = boxes[keep], labels[keep]
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    return {
+    out = {
         "boxes": boxes,
         "labels": labels,
         "area": area,
         "iscrowd": np.zeros(len(boxes), np.int64),
     }
+    kept_anns = [a for a, k in zip(anns, keep) if k]
+    if return_masks:
+        masks = [
+            _polygons_to_mask(a.get("segmentation") or [], height, width)
+            for a in kept_anns
+        ]
+        out["masks"] = (
+            np.stack(masks) if masks else np.zeros((0, height, width), np.uint8)
+        )
+    if return_keypoints:
+        kps = [a.get("keypoints") or [] for a in kept_anns]
+        if any(kps):
+            out["keypoints"] = np.asarray(kps, np.float32).reshape(
+                len(kept_anns), -1, 3
+            )
+        else:
+            out["keypoints"] = np.zeros((len(kept_anns), 0, 3), np.float32)
+    return out
 
 
 class CocoDetectionDataset:
@@ -123,6 +176,8 @@ class CocoDetectionDataset:
         annotation_file: Union[str, dict, COCOIndex],
         transforms: Optional[Transform] = None,
         filter_empty: bool = True,
+        return_masks: bool = False,
+        return_keypoints: bool = False,
     ):
         self.image_dir = image_dir
         self.coco = (
@@ -131,6 +186,8 @@ class CocoDetectionDataset:
             else COCOIndex(annotation_file)
         )
         self.transforms = transforms or Compose([ToFloat()])
+        self.return_masks = return_masks
+        self.return_keypoints = return_keypoints
         ids = self.coco.getImgIds()
         if filter_empty:
             # Train-split filtering of empty/degenerate-only images
@@ -167,7 +224,11 @@ class CocoDetectionDataset:
         info = self.coco.imgs[image_id]
         image = self.load_image(image_id)
         t = _coco_target_to_arrays(
-            self.coco.imgToAnns.get(image_id, []), info["height"], info["width"]
+            self.coco.imgToAnns.get(image_id, []),
+            info["height"],
+            info["width"],
+            return_masks=self.return_masks,
+            return_keypoints=self.return_keypoints,
         )
         image, boxes, labels = self.transforms(image, t["boxes"], t["labels"])
         area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
@@ -178,6 +239,9 @@ class CocoDetectionDataset:
             "area": area,
             "iscrowd": np.zeros(len(boxes), np.int64),
         }
+        for extra in ("masks", "keypoints"):
+            if extra in t:
+                target[extra] = t[extra]
         return image, target, image_id
 
 

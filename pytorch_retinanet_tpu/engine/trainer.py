@@ -314,6 +314,7 @@ class Trainer:
 
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
+            step_metrics = None
             for batch in self.logger_.log_every(
                 train_loader, header=f"epoch {epoch}"
             ):
@@ -324,14 +325,24 @@ class Trainer:
                 )
                 self.global_step += 1
                 self.profiler.step(self.global_step)
-                host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
-                self.logger_.update(**host)
-                metrics.update({f"train_{k}": v for k, v in host.items()})
+                # Metrics stay on device; fetching every step would force a
+                # host sync per step (catastrophic over a remote/tunnel
+                # dispatch path). JAX's async dispatch keeps the device busy.
+                if self.global_step % self.logger_.print_freq == 0:
+                    host = {
+                        k: float(v) for k, v in jax.device_get(step_metrics).items()
+                    }
+                    self.logger_.update(**host)
+                    metrics.update({f"train_{k}": v for k, v in host.items()})
                 if interval == "step" and self.global_step % frequency == 0:
                     self._step_scheduler(None)
                 if self.max_steps and self.global_step >= self.max_steps:
                     self.should_stop = True
                     break
+            if step_metrics is not None:  # epoch-end flush for callbacks
+                host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
+                self.logger_.update(**host)
+                metrics.update({f"train_{k}": v for k, v in host.items()})
 
             if (epoch + 1) % self.val_check_interval == 0:
                 val_metrics = self._run_validation(model, eval_step)

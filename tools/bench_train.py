@@ -1,0 +1,94 @@
+"""Training-step throughput benchmark (not the headline bench; see bench.py).
+
+Measures the fully-jitted, donated train step (forward + loss + grad +
+optimizer) for RetinaNet R50-FPN at the 800px bucket.
+
+    python tools/bench_train.py [--batch 8] [--backbone resnet50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--height", type=int, default=832)
+    ap.add_argument("--width", type=int, default=1344)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from pytorch_retinanet_tpu.engine.optim import build_optimizer
+    from pytorch_retinanet_tpu.models import RetinaNetModule
+    from pytorch_retinanet_tpu.ops import generate_anchors, retinanet_loss
+
+    size = (args.height, args.width)
+    module = RetinaNetModule(backbone_kind=args.backbone, num_classes=90)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)))
+    params, stats = variables["params"], variables["batch_stats"]
+    optimizer = build_optimizer(
+        "torch.optim.SGD", {"lr": 1e-4, "momentum": 0.9, "weight_decay": 1e-4}
+    )
+    opt_state = optimizer.init(params)
+    anchors = jnp.asarray(generate_anchors(size))
+
+    @jax.jit
+    def train_step(params, opt_state, images, boxes, labels, valid):
+        def loss_fn(p):
+            c, b = module.apply({"params": p, "batch_stats": stats}, images, False)
+            l = retinanet_loss(c, b, anchors, boxes, labels, valid, num_classes=90)
+            return l["classification_loss"] + l["regression_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((args.batch, *size, 3), np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.array([[[100.0, 100, 400, 400]]], np.float32), (args.batch, 1, 1))
+    )
+    labels = jnp.ones((args.batch, 1), jnp.int32)
+    valid = jnp.ones((args.batch, 1), bool)
+
+    params, opt_state, loss = train_step(params, opt_state, images, boxes, labels, valid)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt_state, loss = train_step(
+            params, opt_state, images, boxes, labels, valid
+        )
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_{args.backbone}_{args.height}x{args.width}",
+                "step_ms": round(dt * 1000, 1),
+                "images_per_sec": round(args.batch / dt, 2),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
