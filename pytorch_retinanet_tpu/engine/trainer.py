@@ -460,6 +460,41 @@ class Trainer:
         logger.info("test results: %s", results)
         return [results]
 
+    def predict(self, model: RetinaNetModel, loader: Optional[DetectionLoader] = None):
+        """Run detection over a loader (pl.Trainer.predict parity).
+
+        Returns ``{image_id: {"boxes", "scores", "labels"}}`` with boxes in
+        each image's ORIGINAL coordinates.
+        """
+        self._ensure_state(model)
+        _, _, predict_step = self._build_steps(model)
+        loader = loader or model.test_dataloader()
+        self._fit_mesh_to_batch(loader.batch_size)
+        out = {}
+        for batch in loader:
+            db = self.mesh.shard_batch(
+                {"images": batch["images"], "image_sizes": batch["image_sizes"]}
+            )
+            det = jax.device_get(
+                predict_step(self.state, db["images"], db["image_sizes"])
+            )
+            for i, image_id in enumerate(batch["image_ids"]):
+                if not batch["batch_mask"][i]:
+                    continue
+                n = int(det.valid[i].sum())
+                out[int(image_id)] = {
+                    "boxes": np.asarray(
+                        rescale_boxes(
+                            det.boxes[i, :n],
+                            batch["image_sizes"][i],
+                            batch["orig_sizes"][i],
+                        )
+                    ),
+                    "scores": np.asarray(det.scores[i, :n]),
+                    "labels": np.asarray(det.labels[i, :n]),
+                }
+        return out
+
     def _ensure_state(self, model: RetinaNetModel) -> None:
         if self._model is not model or self.state is None:
             self._model = model
