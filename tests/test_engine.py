@@ -135,6 +135,27 @@ class TestCheckpointResume:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+class TestUnfrozenBN:
+    def test_batch_stats_update_when_unfrozen(self, conf, tmp_path_factory):
+        import copy
+        import jax
+
+        c = copy.deepcopy(conf)
+        c.model.freeze_bn = False
+        model = RetinaNetModel(c)
+        before = jax.device_get(model.net.variables["batch_stats"])
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None, warmup_steps=0)
+        trainer.fit(model)
+        after = jax.device_get(model.net.variables["batch_stats"])
+        leaves_b = jax.tree_util.tree_leaves(before)
+        leaves_a = jax.tree_util.tree_leaves(after)
+        changed = any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(leaves_b, leaves_a)
+        )
+        assert changed, "train-mode BN must update running statistics"
+
+
 class TestTestLoop:
     def test_coco_eval_runs(self, fitted):
         model, trainer, _, _ = fitted
