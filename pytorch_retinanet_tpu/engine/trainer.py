@@ -307,6 +307,12 @@ class Trainer:
         self.current_lr = self._sched_lr
 
         train_loader = model.train_dataloader()
+        if len(train_loader) == 0:
+            raise ValueError(
+                f"train dataloader is empty: {len(model.trn_ds)} samples with "
+                f"batch size {train_loader.batch_size} and drop_last — "
+                "reduce dataloader.train_bs or add data"
+            )
         metrics: Dict[str, float] = {}
         interval = self._sched_meta.get("interval", "epoch")
         frequency = self._sched_meta.get("frequency", 1)

@@ -117,6 +117,7 @@ class ResNetBackbone(nn.Module):
 
     kind: str = "resnet50"
     freeze_bn: bool = True
+    remat: bool = False  # rematerialize each block's activations in backward
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -124,6 +125,11 @@ class ResNetBackbone(nn.Module):
     def __call__(self, images: Array, train: bool = False) -> Dict[str, Array]:
         block_kind, depths = RESNET_SPECS[self.kind]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        if self.remat:
+            # jax.checkpoint per residual block: trade ~2x block recompute in
+            # the backward pass for not storing intermediate activations —
+            # the standard HBM-for-FLOPs trade for large-batch training.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = images.astype(self.dtype)
 
         # Stem: 7x7 s2 conv + BN + relu + 3x3 s2 maxpool (reference backbone.py:180-189)

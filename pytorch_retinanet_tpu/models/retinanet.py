@@ -65,6 +65,7 @@ class RetinaNetModule(nn.Module):
     freeze_bn: bool = C.FREEZE_BN
     prior: float = C.PRIOR
     channels: int = 256
+    remat: bool = False
     mean: Sequence[float] = tuple(C.MEAN)
     std: Sequence[float] = tuple(C.STD)
     dtype: Dtype = jnp.bfloat16
@@ -80,6 +81,7 @@ class RetinaNetModule(nn.Module):
         feats = ResNetBackbone(
             kind=self.backbone_kind,
             freeze_bn=self.freeze_bn,
+            remat=self.remat,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="backbone",
@@ -175,6 +177,7 @@ class Retinanet:
         max_size: Optional[int] = None,
         pretrained_path: Optional[str] = None,
         compute_dtype: Optional[str] = None,
+        remat: bool = False,
         seed: int = 0,
         **unused,
     ):
@@ -200,6 +203,7 @@ class Retinanet:
             num_classes=self.num_classes,
             freeze_bn=self.freeze_bn,
             prior=self.prior,
+            remat=remat,
             dtype=dtype,
         )
         init_size = resolution_buckets(self.min_size, self.max_size)[0]

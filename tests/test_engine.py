@@ -20,7 +20,7 @@ def csv_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("csvds")
     rows = []
     rng = np.random.default_rng(0)
-    for i in range(4):
+    for i in range(8):
         img = np.full((100, 80, 3), 255, np.uint8)
         x1, y1 = int(rng.integers(5, 30)), int(rng.integers(5, 40))
         x2, y2 = x1 + int(rng.integers(20, 40)), y1 + int(rng.integers(20, 40))
@@ -100,7 +100,7 @@ class TestFit:
 
     def test_global_step_counts(self, fitted):
         _, trainer, _, _ = fitted
-        assert trainer.global_step == 2 * 2  # 2 epochs x 2 batches
+        assert trainer.global_step == 2 * 4  # 2 epochs x (8 imgs / bs 2)
 
     def test_checkpoint_written(self, fitted):
         _, _, _, ckpt_dir = fitted
@@ -133,6 +133,26 @@ class TestCheckpointResume:
         b = jax.tree_util.tree_leaves(trainer2.state.params)
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+class TestDataParallel:
+    def test_fit_on_full_8_device_mesh(self, conf, tmp_path_factory):
+        """SPMD data-parallel fit: batch 8 sharded across all 8 virtual devices."""
+        import copy
+        import jax
+
+        assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+        c = copy.deepcopy(conf)
+        c.dataloader.train_bs = 8
+        c.dataloader.valid_bs = 8
+        model = RetinaNetModel(c)
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None, warmup_steps=0)
+        metrics = trainer.fit(model)
+        assert trainer.mesh.num_devices == 8
+        assert np.isfinite(metrics["train_loss"])
+        # replicated params stay consistent across the mesh
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
 
 
 class TestUnfrozenBN:
