@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Cache compiled executables across runs (first compile of the R50 inference
+# program takes minutes through the remote-compile path).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_IMG_PER_SEC = 27.0  # torchvision RetinaNet-R50 800px, A100 (external est.)
 
 

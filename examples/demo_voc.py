@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import pickle
 
 import numpy as np
@@ -27,9 +31,12 @@ from pytorch_retinanet_tpu import OmegaConf, RetinaNetModel, Trainer
 from pytorch_retinanet_tpu.data import convert_annotations_to_df, generate_pascal_category_names
 from pytorch_retinanet_tpu.models import Retinanet
 from pytorch_retinanet_tpu.utils import (
+    enable_compilation_cache,
     seed_everything,
     visualize_boxes_and_labels_on_image_array,
 )
+
+enable_compilation_cache()
 
 
 def main() -> None:

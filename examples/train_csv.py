@@ -10,9 +10,16 @@ fit → test → reload → predict) on the TPU-native stack. Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 from pytorch_retinanet_tpu import OmegaConf, RetinaNetModel, Trainer
-from pytorch_retinanet_tpu.utils import seed_everything
+from pytorch_retinanet_tpu.utils import enable_compilation_cache, seed_everything
+
+enable_compilation_cache()
 
 
 def main() -> None:

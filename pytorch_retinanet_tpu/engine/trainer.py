@@ -107,6 +107,7 @@ class Trainer:
         self.global_step = 0
         self.current_lr = 0.0
         self._sched_lr = 0.0
+        self._warmup_eff = warmup_steps
         self.state: Optional[TrainState] = None
         self._model: Optional[RetinaNetModel] = None
         self._optimizer = None
@@ -307,6 +308,13 @@ class Trainer:
         self.current_lr = self._sched_lr
 
         train_loader = model.train_dataloader()
+        # Cap warmup at a fifth of the planned schedule so short runs still
+        # reach full LR (torchvision similarly caps at one epoch's steps);
+        # an explicit warmup_steps=0 disables warmup entirely.
+        total_steps = self.max_epochs * max(len(train_loader), 1)
+        if self.max_steps:
+            total_steps = min(total_steps, self.max_steps)
+        self._warmup_eff = min(self.warmup_steps, max(total_steps // 5, 1)) if self.warmup_steps else 0
         if len(train_loader) == 0:
             raise ValueError(
                 f"train dataloader is empty: {len(model.trn_ds)} samples with "
@@ -376,7 +384,7 @@ class Trainer:
         and the loss NaNs within tens of steps."""
         from .optim import warmup_scale
 
-        scale = warmup_scale(self.global_step, self.warmup_steps, self.warmup_factor)
+        scale = warmup_scale(self.global_step, self._warmup_eff, self.warmup_factor)
         lr = self._sched_lr * scale
         if lr != self.current_lr:
             self.state = self.state.replace(
@@ -388,7 +396,7 @@ class Trainer:
         from .optim import warmup_scale
 
         self._sched_lr = self._scheduler.step(monitor_value)
-        scale = warmup_scale(self.global_step, self.warmup_steps, self.warmup_factor)
+        scale = warmup_scale(self.global_step, self._warmup_eff, self.warmup_factor)
         lr = self._sched_lr * scale
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr)

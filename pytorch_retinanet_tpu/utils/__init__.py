@@ -51,6 +51,19 @@ def collate_fn(batch):
     return tuple(zip(*batch))
 
 
+def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
+    """Persist XLA executables across processes.
+
+    First compiles of the full model take minutes (especially via remote
+    compile paths); the cache turns repeat runs into cache hits. Called by
+    bench.py, the examples and the test conftest.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def seed_everything(seed: int) -> int:
     """Deterministic seeding across python/numpy (pl.seed_everything parity,
     used by the reference demo notebook). JAX randomness is key-based, so the
@@ -73,6 +86,7 @@ __all__ = [
     "SmoothedValue",
     "collate_fn",
     "draw_bounding_box_on_image",
+    "enable_compilation_cache",
     "load_obj",
     "seed_everything",
     "visualize_boxes_and_labels_on_image_array",

@@ -24,6 +24,11 @@ import jax  # noqa: E402
 # backend (and with it the forced 8-device host platform).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compiles; caching them across runs cuts repeat runs to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
