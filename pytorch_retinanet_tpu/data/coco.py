@@ -264,13 +264,21 @@ def convert_to_coco_api(dataset) -> COCOIndex:
     (reference convert_to_coco_api, coco_utils.py:144-192).
 
     Iterates targets WITHOUT decoding images when the dataset exposes
-    ``get_target``/shape metadata; falls back to full iteration otherwise.
+    ``get_target`` + ``get_height_and_width`` (PascalDataset does — its CSV
+    carries width/height); falls back to full iteration otherwise.
     """
     images, annotations, cat_ids = [], [], set()
     ann_id = 1
+    fast = hasattr(dataset, "get_target") and hasattr(dataset, "get_height_and_width")
     for idx in range(len(dataset)):
-        image, target, image_id = dataset[idx]
-        h, w = image.shape[:2]
+        hw = dataset.get_height_and_width(idx) if fast else None
+        if hw is not None:
+            target = dataset.get_target(idx)
+            image_id = idx
+            h, w = hw
+        else:
+            image, target, image_id = dataset[idx]
+            h, w = image.shape[:2]
         images.append({"id": image_id, "height": h, "width": w})
         boxes = np.asarray(target["boxes"], np.float32)
         labels = np.asarray(target["labels"], np.int64)

@@ -187,14 +187,27 @@ class DetectionLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks `stop`, so an early-exiting consumer
+            (max_steps break, exception) can't leave the producer parked in
+            q.put() forever, leaking the thread pool."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self._load_sample, batch_idxs))
-                    q.put(self._collate(samples))
-            q.put(None)
+                    if not put_or_stop(self._collate(samples)):
+                        return
+            put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -105,6 +105,12 @@ class PascalDataset:
             f: g[["xmin", "ymin", "xmax", "ymax", "labels"]].to_numpy()
             for f, g in df.groupby("filename")
         }
+        self._sizes = (
+            {f: (int(g["height"].iloc[0]), int(g["width"].iloc[0]))
+             for f, g in df.groupby("filename")}
+            if {"height", "width"} <= set(df.columns)
+            else {}
+        )
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -117,6 +123,24 @@ class PascalDataset:
         if img is None:
             raise FileNotFoundError(path)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def get_height_and_width(self, idx: int):
+        """(h, w) from CSV metadata, without decoding the image — lets
+        convert_to_coco_api build the GT index image-IO-free."""
+        return self._sizes.get(self.filenames[idx])
+
+    def get_target(self, idx: int):
+        """Untransformed target dict, without decoding the image."""
+        ann = self._by_file[self.filenames[idx]]
+        boxes = ann[:, :4].astype(np.float32)
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        return {
+            "boxes": boxes,
+            "labels": ann[:, 4].astype(np.int64),
+            "image_id": np.asarray([idx]),
+            "area": area,
+            "iscrowd": np.zeros(len(boxes), np.int64),
+        }
 
     def __getitem__(self, idx: int):
         image = self.load_image(idx)

@@ -317,7 +317,12 @@ def build_transforms(
     model.py:50-60). Unknown class names raise (registry-based resolution
     replaces the reference's arbitrary dotted-path import).
     """
-    transforms: List[Transform] = []
+    # ToFloat FIRST: photometric transforms (RandomBrightnessContrast,
+    # GaussNoise, ...) assume float [0,1]; running them on the uint8 images
+    # datasets emit would saturate the image to ~1.0 and silently destroy
+    # training. (The reference appends ToFloat last because albumentations'
+    # photometric ops handle uint8 natively; ours are float-only.)
+    transforms: List[Transform] = [ToFloat()]
     for spec in specs or []:
         name = spec["class_name"]
         if name not in TRANSFORM_REGISTRY:
@@ -327,7 +332,6 @@ def build_transforms(
             )
         params = dict(spec.get("params") or {})
         transforms.append(TRANSFORM_REGISTRY[name](**params))
-    transforms.append(ToFloat())
     for t in extra or []:
         transforms.append(t)
     return Compose(transforms)

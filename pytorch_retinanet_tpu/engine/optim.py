@@ -188,6 +188,7 @@ class ReduceLROnPlateau(LRScheduler):
         threshold: float = 1e-4,
         min_lr: float = 0.0,
         cooldown: int = 0,
+        **torch_only,  # verbose / threshold_mode / eps — accepted, ignored
     ):
         super().__init__(base_lr)
         self.mode = mode
@@ -263,4 +264,9 @@ def build_scheduler(
         raise KeyError(
             f"unknown scheduler {class_name!r}; available: {sorted(SCHEDULER_REGISTRY)}"
         )
-    return SCHEDULER_REGISTRY[class_name](base_lr, **dict(params or {}))
+    kwargs = dict(params or {})
+    # torch-only knobs that appear in reference configs (hparams.yaml:74-77)
+    # but have no behavioral counterpart here.
+    for torch_only in ("verbose", "threshold_mode", "eps", "last_epoch"):
+        kwargs.pop(torch_only, None)
+    return SCHEDULER_REGISTRY[class_name](base_lr, **kwargs)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import os
+import pickle
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -102,6 +103,9 @@ class Trainer:
         self.logger_ = MetricLogger(print_freq=log_every_n_steps)
         self.profiler = ProfilerHook(profile_dir)
         self.mesh = mesh or make_mesh(devices)
+        # Full device set — _fit_mesh_to_batch always derives from this, so a
+        # small-batch validate cannot permanently shrink the training mesh.
+        self._all_devices = list(self.mesh.mesh.devices.flatten())
         self.should_stop = False
         self.current_epoch = 0
         self.global_step = 0
@@ -113,10 +117,21 @@ class Trainer:
         self._optimizer = None
         self._scheduler = None
         self._sched_meta: Dict[str, Any] = {}
+        self._steps = None  # cached (train, eval, predict) — retracing is minutes
+        self._steps_model: Optional[RetinaNetModel] = None
 
     # ------------------------------------------------------------------ #
     # Step builders
     # ------------------------------------------------------------------ #
+    def _get_steps(self, model: RetinaNetModel):
+        """Cached (train, eval, predict) step triple — rebuilding creates
+        fresh jit closures whose caches are empty, i.e. a full re-trace and
+        multi-minute recompile per validate/test/predict call."""
+        if self._steps is None or self._steps_model is not model:
+            self._steps = self._build_steps(model)
+            self._steps_model = model
+        return self._steps
+
     def _build_steps(self, model: RetinaNetModel):
         net = model.net
         module = net.module
@@ -238,11 +253,22 @@ class Trainer:
             return
         ckpt = {
             "state": jax.device_get(self.state),
-            "epoch": np.asarray(self.current_epoch),
+            # epochs COMPLETED: checkpoints are written at epoch end, so a
+            # resume starts at the next epoch instead of repeating this one.
+            "epoch": np.asarray(self.current_epoch + 1),
             "global_step": np.asarray(self.global_step),
         }
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path), ckpt, force=True)
+        # Host-side LR bookkeeping sidecar: the scheduler's own counters/state
+        # and the PRE-warmup scheduler LR. Without these, resume restarts the
+        # schedule and double-applies warmup to an already-scaled LR.
+        host = {
+            "sched_lr": float(self._sched_lr),
+            "scheduler_state": dict(getattr(self._scheduler, "__dict__", {}) or {}),
+        }
+        with open(os.path.join(os.path.abspath(path), "host_state.pkl"), "wb") as f:
+            pickle.dump(host, f)
 
     def restore_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
@@ -257,6 +283,13 @@ class Trainer:
         self.state = restored["state"]
         self.current_epoch = int(restored["epoch"])
         self.global_step = int(restored["global_step"])
+        host_path = os.path.join(os.path.abspath(path), "host_state.pkl")
+        if os.path.exists(host_path):
+            with open(host_path, "rb") as f:
+                host = pickle.load(f)
+            self._sched_lr = host["sched_lr"]
+            if self._scheduler is not None and host.get("scheduler_state"):
+                self._scheduler.__dict__.update(host["scheduler_state"])
 
     # ------------------------------------------------------------------ #
     # Loops
@@ -273,17 +306,20 @@ class Trainer:
         return sharded
 
     def _fit_mesh_to_batch(self, batch_size: int) -> None:
-        """Shrink the data mesh to the largest device count dividing the batch
-        (a 2-image debug batch must not be forced onto an 8-device mesh)."""
-        n = self.mesh.num_devices
+        """Use the largest device count (out of ALL devices) dividing the batch
+        (a 2-image debug batch must not be forced onto an 8-device mesh).
+        Always derived from the full device set, so the mesh can grow back
+        after a small-batch validate/test."""
+        n = len(self._all_devices)
         while batch_size % n != 0:
             n -= 1
         if n != self.mesh.num_devices:
-            logger.warning(
-                "batch size %d not divisible by %d devices; using a %d-device mesh",
-                batch_size, self.mesh.num_devices, n,
-            )
-            self.mesh = make_mesh(self.mesh.mesh.devices.flatten()[:n])
+            if n < len(self._all_devices):
+                logger.warning(
+                    "batch size %d not divisible by %d devices; using a %d-device mesh",
+                    batch_size, len(self._all_devices), n,
+                )
+            self.mesh = make_mesh(self._all_devices[:n])
 
     def fit(self, model: RetinaNetModel) -> Dict[str, float]:
         """Train (reference: ``trainer.fit(model)``)."""
@@ -300,12 +336,15 @@ class Trainer:
         self._optimizer, self._scheduler, self._sched_meta = (
             model.configure_optimizers()
         )
-        train_step, eval_step, _ = self._build_steps(model)
+        self._steps = None  # steps close over the (re)built optimizer
+        train_step, eval_step, _ = self._get_steps(model)
         self.state = self._init_state(model)
-        if self.resume_from_checkpoint:
-            self.restore_checkpoint(self.resume_from_checkpoint)
         self._sched_lr = current_learning_rate(self.state.opt_state)
-        self.current_lr = self._sched_lr
+        if self.resume_from_checkpoint:
+            # restore_checkpoint also recovers _sched_lr + scheduler counters
+            # from the host-state sidecar (the opt_state LR may be mid-warmup).
+            self.restore_checkpoint(self.resume_from_checkpoint)
+        self.current_lr = current_learning_rate(self.state.opt_state)
 
         train_loader = model.train_dataloader()
         # Cap warmup at a fifth of the planned schedule so short runs still
@@ -428,7 +467,8 @@ class Trainer:
     def validate(self, model: RetinaNetModel) -> Dict[str, float]:
         """Standalone validation (pl.Trainer.validate parity)."""
         self._ensure_state(model)
-        _, eval_step, _ = self._build_steps(model)
+        self._fit_mesh_to_batch(int(model.hparams.dataloader.valid_bs or 1))
+        _, eval_step, _ = self._get_steps(model)
         return self._run_validation(model, eval_step)
 
     def test(self, model: RetinaNetModel) -> List[Dict[str, float]]:
@@ -437,7 +477,7 @@ class Trainer:
         evaluator, return ``[{"AP": stats[0]}]``-style results."""
         self._ensure_state(model)
         self._fit_mesh_to_batch(int(model.hparams.dataloader.test_bs))
-        _, _, predict_step = self._build_steps(model)
+        _, _, predict_step = self._get_steps(model)
         evaluator = model.test_evaluator()
         loader = model.test_dataloader()
 
@@ -481,7 +521,7 @@ class Trainer:
         each image's ORIGINAL coordinates.
         """
         self._ensure_state(model)
-        _, _, predict_step = self._build_steps(model)
+        _, _, predict_step = self._get_steps(model)
         loader = loader or model.test_dataloader()
         self._fit_mesh_to_batch(loader.batch_size)
         out = {}
@@ -510,13 +550,21 @@ class Trainer:
         return out
 
     def _ensure_state(self, model: RetinaNetModel) -> None:
-        if self._model is not model or self.state is None:
+        if self._model is not model:
+            # A different model invalidates EVERYTHING derived from the old
+            # one — reusing the previous state would silently evaluate the new
+            # model with the old model's weights.
             self._model = model
-            if model.trn_ds is None and model.test_ds is None:
-                model.prepare_data()
-            if self._optimizer is None:
-                self._optimizer, self._scheduler, self._sched_meta = (
-                    model.configure_optimizers()
-                )
-            if self.state is None:
-                self.state = self._init_state(model)
+            self.state = None
+            self._optimizer = None
+            self._scheduler = None
+            self._steps = None
+            self._steps_model = None
+        if model.trn_ds is None and model.test_ds is None:
+            model.prepare_data()
+        if self._optimizer is None:
+            self._optimizer, self._scheduler, self._sched_meta = (
+                model.configure_optimizers()
+            )
+        if self.state is None:
+            self.state = self._init_state(model)

@@ -286,7 +286,7 @@ class Retinanet:
 
     def _pad_ragged(self, images, targets):
         """Reference-style ragged inputs → fixed-shape padded batch."""
-        from .. import config as C_
+        from ..data.loader import pad_targets  # lazy: loader imports this module
 
         padded_imgs, padded_boxes, padded_labels, padded_valid = [], [], [], []
         for img, tgt in zip(images, targets):
@@ -299,13 +299,9 @@ class Retinanet:
             if len(boxes):
                 sx, sy = new_w / orig_w, new_h / orig_h
                 boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
-            n = min(len(boxes), C_.MAX_GT_BOXES)
-            b = np.zeros((C_.MAX_GT_BOXES, 4), np.float32)
-            l = np.zeros((C_.MAX_GT_BOXES,), np.int32)
-            v = np.zeros((C_.MAX_GT_BOXES,), bool)
-            b[:n] = boxes[:n]
-            l[:n] = np.asarray(tgt["labels"]).reshape(-1)[:n]
-            v[:n] = True
+            b, l, v = pad_targets(
+                boxes, np.asarray(tgt["labels"]).reshape(-1), C.MAX_GT_BOXES
+            )
             padded_imgs.append(padded)
             padded_boxes.append(b)
             padded_labels.append(l)

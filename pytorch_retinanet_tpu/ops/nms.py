@@ -99,6 +99,40 @@ class Detections(NamedTuple):
     valid: Array  # [..., D] bool
 
 
+def _suppress_and_pack(
+    boxes: Array,
+    scores: Array,
+    class_idx: Array,
+    valid: Array,
+    *,
+    nms_thres: float,
+    max_detections: int,
+    max_coordinate: float,
+    use_pallas: bool | None,
+) -> Detections:
+    """Shared tail of both postprocess paths: class-offset NMS over the
+    candidate set, then final top-k packing into padded Detections."""
+    offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
+    if use_pallas is None:
+        from ..kernels import tpu_available
+
+        use_pallas = tpu_available()
+    if use_pallas:
+        from ..kernels import pallas_nms_keep_mask
+
+        keep = pallas_nms_keep_mask(boxes + offsets[:, None], valid, nms_thres)
+    else:
+        keep = nms_keep_mask(boxes + offsets[:, None], scores, nms_thres, valid)
+
+    sel_scores = jnp.where(keep, scores, -1.0)
+    det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)
+    det_valid = det_scores > 0.0
+    det_boxes = jnp.where(det_valid[:, None], boxes[det_idx], 0.0)
+    det_labels = jnp.where(det_valid, class_idx[det_idx] + 1, 0)
+    det_scores = jnp.maximum(det_scores, 0.0)
+    return Detections(det_boxes, det_scores, det_labels, det_valid)
+
+
 def process_detections(
     cls_logits: Array,
     box_deltas: Array,
@@ -141,26 +175,11 @@ def process_detections(
     boxes = clip_boxes(boxes, image_size)
 
     valid = (top_scores > score_thres) & small_box_mask(boxes)  # models.py:196,203
-
-    offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
-    if use_pallas is None:
-        from ..kernels import tpu_available
-
-        use_pallas = tpu_available()
-    if use_pallas:
-        from ..kernels import pallas_nms_keep_mask
-
-        keep = pallas_nms_keep_mask(boxes + offsets[:, None], valid, nms_thres)
-    else:
-        keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
-
-    sel_scores = jnp.where(keep, top_scores, -1.0)
-    det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)
-    det_valid = det_scores > 0.0
-    det_boxes = jnp.where(det_valid[:, None], boxes[det_idx], 0.0)
-    det_labels = jnp.where(det_valid, class_idx[det_idx] + 1, 0)
-    det_scores = jnp.maximum(det_scores, 0.0)
-    return Detections(det_boxes, det_scores, det_labels, det_valid)
+    return _suppress_and_pack(
+        boxes, top_scores, class_idx, valid,
+        nms_thres=nms_thres, max_detections=max_detections,
+        max_coordinate=max_coordinate, use_pallas=use_pallas,
+    )
 
 
 def process_detections_multilevel(
@@ -222,25 +241,11 @@ def process_detections_multilevel(
     class_idx = classes_all[top_idx]
 
     valid = (top_scores > score_thres) & small_box_mask(boxes)
-    offsets = class_idx.astype(jnp.float32) * (max_coordinate + 1.0)
-    if use_pallas is None:
-        from ..kernels import tpu_available
-
-        use_pallas = tpu_available()
-    if use_pallas:
-        from ..kernels import pallas_nms_keep_mask
-
-        keep = pallas_nms_keep_mask(boxes + offsets[:, None], valid, nms_thres)
-    else:
-        keep = nms_keep_mask(boxes + offsets[:, None], top_scores, nms_thres, valid)
-
-    sel_scores = jnp.where(keep, top_scores, -1.0)
-    det_scores, det_idx = jax.lax.top_k(sel_scores, max_detections)
-    det_valid = det_scores > 0.0
-    det_boxes = jnp.where(det_valid[:, None], boxes[det_idx], 0.0)
-    det_labels = jnp.where(det_valid, class_idx[det_idx] + 1, 0)
-    det_scores = jnp.maximum(det_scores, 0.0)
-    return Detections(det_boxes, det_scores, det_labels, det_valid)
+    return _suppress_and_pack(
+        boxes, top_scores, class_idx, valid,
+        nms_thres=nms_thres, max_detections=max_detections,
+        max_coordinate=max_coordinate, use_pallas=use_pallas,
+    )
 
 
 def process_detections_multilevel_batch(

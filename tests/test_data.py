@@ -184,3 +184,28 @@ class TestLoader:
         ids0 = [b["image_ids"][0] for b in l0]
         ids1 = [b["image_ids"][0] for b in l1]
         assert sorted(ids0 + ids1) == [0, 1]
+
+
+class TestTransformOrderRegression:
+    def test_photometric_on_uint8_stays_sane(self):
+        """ToFloat must run FIRST: photometric transforms on raw uint8 would
+        saturate the image to ~1.0 (all white) and silently destroy training."""
+        from pytorch_retinanet_tpu.data import build_transforms
+
+        t = build_transforms(
+            [{"class_name": "albumentations.RandomBrightnessContrast",
+              "params": {"p": 1.0, "brightness_limit": 0.1, "contrast_limit": 0.1}}]
+        )
+        img = np.full((16, 16, 3), 120, np.uint8)
+        out, _, _ = t(img, np.zeros((0, 4), np.float32), np.zeros(0))
+        assert 0.2 < out.mean() < 0.8, f"image saturated: mean={out.mean()}"
+
+    def test_gaussnoise_on_uint8_stays_sane(self):
+        from pytorch_retinanet_tpu.data import build_transforms
+
+        t = build_transforms(
+            [{"class_name": "albumentations.GaussNoise", "params": {"p": 1.0}}]
+        )
+        img = np.full((16, 16, 3), 120, np.uint8)
+        out, _, _ = t(img, np.zeros((0, 4), np.float32), np.zeros(0))
+        assert 0.2 < out.mean() < 0.8

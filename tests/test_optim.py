@@ -152,3 +152,26 @@ class TestOptimizers:
     def test_unknown_optimizer_raises(self):
         with pytest.raises(KeyError):
             build_optimizer("torch.optim.LBFGS", {"lr": 1.0})
+
+
+class TestReferenceConfigCompat:
+    def test_stock_reference_scheduler_params_accepted(self):
+        """The reference's hparams.yaml passes verbose=true — must not crash."""
+        s = build_scheduler(
+            "torch.optim.lr_scheduler.ReduceLROnPlateau", 0.001,
+            {"mode": "min", "factor": 0.1, "patience": 5, "verbose": True},
+        )
+        assert isinstance(s, ReduceLROnPlateau)
+
+    def test_full_reference_yaml_configures(self):
+        from pytorch_retinanet_tpu import OmegaConf
+        from pytorch_retinanet_tpu.engine.optim import build_optimizer
+
+        conf = OmegaConf.load("/root/reference/hparams.yaml")
+        opt = build_optimizer(conf.optimizer.class_name, conf.optimizer.params)
+        sched = build_scheduler(
+            conf.scheduler.class_name,
+            float(conf.optimizer.params.lr),
+            conf.scheduler.params,
+        )
+        assert opt is not None and sched is not None
