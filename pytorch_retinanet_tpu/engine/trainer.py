@@ -385,6 +385,7 @@ class Trainer:
                     host = {
                         k: float(v) for k, v in jax.device_get(step_metrics).items()
                     }
+                    self._check_finite(host)
                     self.logger_.update(**host)
                     metrics.update({f"train_{k}": v for k, v in host.items()})
                 if interval == "step" and self.global_step % frequency == 0:
@@ -394,6 +395,7 @@ class Trainer:
                     break
             if step_metrics is not None:  # epoch-end flush for callbacks
                 host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
+                self._check_finite(host)
                 self.logger_.update(**host)
                 metrics.update({f"train_{k}": v for k, v in host.items()})
 
@@ -415,6 +417,21 @@ class Trainer:
         self.profiler.close()
         self._sync_model(model)
         return metrics
+
+    def _check_finite(self, metrics: Dict[str, float]) -> None:
+        """Fail loudly on divergence instead of training on garbage.
+
+        RetinaNet's known failure mode is a gradient spike in the first few
+        hundred steps (docs/DESIGN.md §10) — surface it with guidance rather
+        than silently producing NaN checkpoints."""
+        bad = {k: v for k, v in metrics.items() if not np.isfinite(v)}
+        if bad:
+            raise FloatingPointError(
+                f"non-finite training metrics at step {self.global_step}: {bad}. "
+                "Typical causes: learning rate too high, warmup disabled "
+                "(warmup_steps=0), or no gradient clipping — try "
+                "Trainer(warmup_steps=500, gradient_clip_val=10.0) or a lower lr."
+            )
 
     def _apply_warmup(self) -> None:
         """Linear LR warmup over the first `warmup_steps` optimizer steps

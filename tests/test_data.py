@@ -209,3 +209,29 @@ class TestTransformOrderRegression:
         img = np.full((16, 16, 3), 120, np.uint8)
         out, _, _ = t(img, np.zeros((0, 4), np.float32), np.zeros(0))
         assert 0.2 < out.mean() < 0.8
+
+
+class TestMixedOrientationBatch:
+    def test_letterboxes_to_batch_max(self, tmp_path):
+        """Landscape + portrait in one batch: both padded to the batch-max
+        canvas with boxes still inside their resized extents."""
+        import cv2
+
+        rows = []
+        for i, (h, w) in enumerate([(40, 80), (80, 40)]):
+            p = str(tmp_path / f"{i}.png")
+            cv2.imwrite(p, np.full((h, w, 3), 100, np.uint8))
+            rows.append({"filename": p, "width": w, "height": h, "class": "x",
+                         "xmin": 2.0, "ymin": 2.0, "xmax": w - 2.0, "ymax": h - 2.0,
+                         "labels": 1})
+        ds = PascalDataset(pd.DataFrame(rows))
+        loader = DetectionLoader(ds, batch_size=2, min_size=32, max_size=64,
+                                 max_gt=5, num_workers=1)
+        (batch,) = list(loader)
+        bh, bw = batch["images"].shape[1:3]
+        assert bh == bw == 64  # letterboxed to the larger bucket both ways
+        assert batch["batch_mask"].all()
+        for i in range(2):
+            nh, nw = batch["image_sizes"][i]
+            box = batch["boxes"][i][batch["valid"][i]][0]
+            assert box[2] <= nw + 1e-3 and box[3] <= nh + 1e-3

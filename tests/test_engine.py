@@ -182,3 +182,18 @@ class TestTestLoop:
         results = trainer.test(model)
         assert isinstance(results, list) and "AP" in results[0]
         assert -1.0 <= results[0]["AP"] <= 1.0
+
+
+class TestNaNGuard:
+    def test_non_finite_metrics_raise_with_guidance(self, conf):
+        import copy
+
+        c = copy.deepcopy(conf)
+        # absurd LR + no warmup/clip => rapid divergence
+        c.optimizer.params.lr = 1e6
+        model = RetinaNetModel(c)
+        trainer = Trainer(
+            max_epochs=3, checkpoint_dir=None, warmup_steps=0, log_every_n_steps=1
+        )
+        with pytest.raises(FloatingPointError, match="warmup"):
+            trainer.fit(model)
