@@ -25,7 +25,7 @@ from typing import Any, Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, conv_kaiming, max_pool_torch
+from .layers import BatchNorm, conv_kaiming, max_pool_torch, space_to_depth_2x
 
 Array = jnp.ndarray
 Dtype = Any
@@ -118,6 +118,11 @@ class ResNetBackbone(nn.Module):
     kind: str = "resnet50"
     freeze_bn: bool = True
     remat: bool = False  # rematerialize each block's activations in backward
+    # Space-to-depth stem: exactly-equivalent 4x4-s1 conv over 12 channels
+    # instead of 7x7-s2 over 3 (see layers.space_to_depth_2x). Measured neutral
+    # on v5e at 800px (XLA already handles the 3-channel stem well there), so
+    # default off; kept as an opt-in for other chips/resolutions.
+    stem_s2d: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -133,9 +138,26 @@ class ResNetBackbone(nn.Module):
         x = images.astype(self.dtype)
 
         # Stem: 7x7 s2 conv + BN + relu + 3x3 s2 maxpool (reference backbone.py:180-189)
-        x = conv_kaiming(
-            64, (7, 7), 2, dtype=self.dtype, param_dtype=self.param_dtype, name="stem_conv"
-        )(x)
+        if self.stem_s2d:
+            x = space_to_depth_2x(x)
+            x = nn.Conv(
+                64,
+                (4, 4),
+                strides=1,
+                padding=[(2, 1), (2, 1)],
+                use_bias=False,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "truncated_normal"
+                ),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="stem_conv",
+            )(x)
+        else:
+            x = conv_kaiming(
+                64, (7, 7), 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="stem_conv",
+            )(x)
         x = nn.relu(
             BatchNorm(
                 frozen=self.freeze_bn,

@@ -115,6 +115,18 @@ def load_torch_resnet(variables: Mapping, path: str, kind: str) -> Dict[str, Any
         state_dict = state_dict["state_dict"]
     new_params, new_stats = torch_resnet_to_flax(state_dict, kind)
 
+    # Space-to-depth stem target: rewrite the 7x7 stem kernel into the exactly
+    # equivalent 4x4x(4*Cin) form (see layers.stem_kernel_to_s2d).
+    target_stem = (
+        variables.get("params", {}).get("backbone", {}).get("stem_conv", {}).get("kernel")
+    )
+    if target_stem is not None and tuple(target_stem.shape[:2]) == (4, 4):
+        from .layers import stem_kernel_to_s2d
+
+        new_params["stem_conv"]["kernel"] = stem_kernel_to_s2d(
+            new_params["stem_conv"]["kernel"]
+        )
+
     variables = jax.tree_util.tree_map(lambda x: x, dict(variables))  # shallow copy
     out = {k: dict(v) for k, v in variables.items()}
 

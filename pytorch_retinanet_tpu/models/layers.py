@@ -99,6 +99,43 @@ def max_pool_torch(x: Array, window: int, strides: int) -> Array:
     )
 
 
+def space_to_depth_2x(x: Array) -> Array:
+    """[B, H, W, C] → [B, H/2, W/2, 4C], channel order (dy, dx, c).
+
+    The MXU wants ≥128-lane contractions; a stride-2 conv on a 3-channel
+    image achieves neither. Packing 2x2 pixel blocks into channels turns the
+    stem's 7x7-s2 conv into an EXACTLY equivalent 4x4-s1 conv over 12 input
+    channels (see :func:`stem_kernel_to_s2d`) — the standard MLPerf ResNet
+    space-to-depth optimization.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(kernel_7x7: "np.ndarray | Array"):
+    """Transform a [7,7,Cin,Cout] stride-2 stem kernel into the [4,4,4*Cin,Cout]
+    stride-1 kernel that computes the identical convolution on
+    :func:`space_to_depth_2x` input (with padding (2,1) per spatial dim).
+
+    Derivation: with torch padding 3, ``out[i] = Σ_k w[k] x[2i+k-3]``; writing
+    ``k-3 = 2(a-2) + d`` (a ∈ [0,4), d ∈ {0,1}) gives a 4-tap conv over the
+    packed input with one zero tap (k=-1). Zero-padding the kernel to 8 at the
+    top-left realizes that in one reshape.
+    """
+    import numpy as _np
+
+    k = _np.asarray(kernel_7x7)
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (7, 7), f"expected a 7x7 stem kernel, got {k.shape}"
+    k8 = _np.zeros((8, 8, cin, cout), k.dtype)
+    k8[1:, 1:] = k  # zero row/col at top-left: index k8 = (orig + 1)
+    # [8,8,cin,cout] -> [4,2,4,2,cin,cout] -> [4,4,2,2,cin,cout] -> [4,4,4cin,cout]
+    k4 = k8.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return k4.reshape(4, 4, 4 * cin, cout)
+
+
 def nearest_upsample_to(x: Array, target_hw: Sequence[int]) -> Array:
     """Nearest-neighbour upsample of NHWC `x` to an exact (H, W).
 

@@ -66,6 +66,7 @@ class RetinaNetModule(nn.Module):
     prior: float = C.PRIOR
     channels: int = 256
     remat: bool = False
+    stem_s2d: bool = False
     mean: Sequence[float] = tuple(C.MEAN)
     std: Sequence[float] = tuple(C.STD)
     dtype: Dtype = jnp.bfloat16
@@ -82,6 +83,7 @@ class RetinaNetModule(nn.Module):
             kind=self.backbone_kind,
             freeze_bn=self.freeze_bn,
             remat=self.remat,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="backbone",
@@ -178,6 +180,7 @@ class Retinanet:
         pretrained_path: Optional[str] = None,
         compute_dtype: Optional[str] = None,
         remat: bool = False,
+        stem_s2d: bool = False,
         seed: int = 0,
         **unused,
     ):
@@ -204,6 +207,7 @@ class Retinanet:
             freeze_bn=self.freeze_bn,
             prior=self.prior,
             remat=remat,
+            stem_s2d=stem_s2d,
             dtype=dtype,
         )
         init_size = resolution_buckets(self.min_size, self.max_size)[0]

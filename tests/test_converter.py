@@ -129,7 +129,9 @@ def test_feature_parity_torch_vs_flax(kind, block, layers):
         tc3, tc4, tc5 = tmodel(x)
 
     params, stats = torch_resnet_to_flax(tmodel.state_dict(), kind)
-    fmodel = ResNetBackbone(kind=kind, freeze_bn=True, dtype=jnp.float32)
+    fmodel = ResNetBackbone(
+        kind=kind, freeze_bn=True, stem_s2d=False, dtype=jnp.float32
+    )
     feats = fmodel.apply(
         {"params": params, "batch_stats": stats},
         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
@@ -141,6 +143,30 @@ def test_feature_parity_torch_vs_flax(kind, block, layers):
         ref = tfeat.numpy()
         assert ours.shape == ref.shape, (name, ours.shape, ref.shape)
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4), name
+
+    # Space-to-depth stem with the transformed kernel must match too — it is
+    # the same convolution, repacked (models/layers.py stem_kernel_to_s2d).
+    from pytorch_retinanet_tpu.models.layers import stem_kernel_to_s2d
+
+    params_s2d = dict(params)
+    params_s2d["stem_conv"] = {
+        "kernel": stem_kernel_to_s2d(params["stem_conv"]["kernel"])
+    }
+    fmodel_s2d = ResNetBackbone(
+        kind=kind, freeze_bn=True, stem_s2d=True, dtype=jnp.float32
+    )
+    feats_s2d = fmodel_s2d.apply(
+        {"params": params_s2d, "batch_stats": stats},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        False,
+    )
+    for name, tfeat in [("c3", tc3), ("c4", tc4), ("c5", tc5)]:
+        np.testing.assert_allclose(
+            np.asarray(feats_s2d[name]).transpose(0, 3, 1, 2),
+            tfeat.numpy(),
+            rtol=1e-4, atol=1e-4,
+            err_msg=f"s2d stem diverged at {name}",
+        )
 
 
 def test_converter_rejects_shape_mismatch():
