@@ -34,7 +34,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     batch = 16  # best measured throughput point (127.6 img/s vs 118 at b8 on v5e)
-    image_size = (832, 1344)  # the 800/1333 landscape bucket
+    image_size = (800, 1344)  # the ACTUAL default 800/1333 landscape bucket
 
     module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
     rng = jax.random.PRNGKey(0)

@@ -48,18 +48,30 @@ def main() -> None:
         net.load_state_dict(pickle.load(f))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    images = [
-        cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
-        for p in args.images
-    ]
+    images = []
+    for p in args.images:
+        raw = cv2.imread(p, cv2.IMREAD_COLOR)
+        if raw is None:
+            raise FileNotFoundError(f"could not read image: {p}")
+        images.append(cv2.cvtColor(raw, cv2.COLOR_BGR2RGB))
     results = net.predict(images)
+    written = set()
     for path, img, det in zip(args.images, images, results):
         n = int((det["scores"] > args.score_thresh).sum())
         viz = visualize_boxes_and_labels_on_image_array(
             img, det["boxes"], det["labels"], det["scores"],
             args.labels, min_score_thresh=args.score_thresh,
+            max_boxes_to_draw=None,
         )
-        out = os.path.join(args.out_dir, os.path.basename(path))
+        name = os.path.basename(path)
+        if name in written:  # same basename from different dirs
+            stem, ext = os.path.splitext(name)
+            k = 1
+            while f"{stem}_{k}{ext}" in written:
+                k += 1
+            name = f"{stem}_{k}{ext}"
+        written.add(name)
+        out = os.path.join(args.out_dir, name)
         cv2.imwrite(out, cv2.cvtColor(viz, cv2.COLOR_RGB2BGR))
         print(f"{path}: {n} detections > {args.score_thresh} -> {out}")
 

@@ -365,6 +365,21 @@ class Trainer:
         frequency = self._sched_meta.get("frequency", 1)
         monitor = self._sched_meta.get("monitor")
 
+        try:
+            self._fit_loop(model, train_step, eval_step, train_loader, metrics)
+        finally:
+            # Always release the profiler — its trace of the failing steps is
+            # most valuable exactly when fit raises (e.g. the NaN guard).
+            self.profiler.close()
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        self._sync_model(model)
+        return metrics
+
+    def _fit_loop(self, model, train_step, eval_step, train_loader, metrics) -> None:
+        interval = self._sched_meta.get("interval", "epoch")
+        frequency = self._sched_meta.get("frequency", 1)
+        monitor = self._sched_meta.get("monitor")
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
             step_metrics = None
@@ -411,12 +426,6 @@ class Trainer:
                 cb.on_epoch_end(self, metrics)
             if self.should_stop:
                 break
-
-        for cb in self.callbacks:
-            cb.on_train_end(self)
-        self.profiler.close()
-        self._sync_model(model)
-        return metrics
 
     def _check_finite(self, metrics: Dict[str, float]) -> None:
         """Fail loudly on divergence instead of training on garbage.

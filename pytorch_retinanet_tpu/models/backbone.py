@@ -49,6 +49,21 @@ BACKBONE_OUT_CHANNELS: Dict[str, Tuple[int, int, int]] = {
 }
 
 
+def _s2d_stem_init(key, shape, dtype):
+    """Init for the space-to-depth stem: sample the canonical 7x7 kernel
+    (kaiming-normal fan_out, like conv_kaiming) then repack it with
+    :func:`..models.layers.stem_kernel_to_s2d` — jnp ops so it traces."""
+    kh, kw, cin4, cout = shape
+    assert (kh, kw) == (4, 4) and cin4 % 4 == 0, shape
+    cin = cin4 // 4
+    base = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")(
+        key, (7, 7, cin, cout), dtype
+    )
+    k8 = jnp.zeros((8, 8, cin, cout), dtype).at[1:, 1:].set(base)
+    k4 = k8.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return k4.reshape(4, 4, 4 * cin, cout)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (reference backbone.py:38-80)."""
 
@@ -146,9 +161,11 @@ class ResNetBackbone(nn.Module):
                 strides=1,
                 padding=[(2, 1), (2, 1)],
                 use_bias=False,
-                kernel_init=nn.initializers.variance_scaling(
-                    2.0, "fan_out", "truncated_normal"
-                ),
+                # Sample a 7x7 stem kernel and repack it, so from-scratch init
+                # is statistically identical to the default stem (a direct
+                # variance_scaling over the (4,4,12,C) shape would use a ~3x
+                # smaller fan_out and start from a different operating point).
+                kernel_init=_s2d_stem_init,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="stem_conv",

@@ -22,8 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pytorch_retinanet_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main() -> None:
