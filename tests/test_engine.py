@@ -197,3 +197,58 @@ class TestNaNGuard:
         )
         with pytest.raises(FloatingPointError, match="warmup"):
             trainer.fit(model)
+
+
+class TestCocoKind:
+    def test_coco_dataset_kind_end_to_end(self, tmp_path):
+        """dataset.kind='coco' with the standard train2017/val2017 layout:
+        prepare_data -> fit -> COCO test all function."""
+        import json
+
+        import cv2
+
+        root = str(tmp_path / "coco")
+        rng = np.random.default_rng(0)
+        for split in ("train", "val"):
+            img_dir = f"{root}/{split}2017"
+            os.makedirs(img_dir, exist_ok=True)
+            os.makedirs(f"{root}/annotations", exist_ok=True)
+            images, anns = [], []
+            for i in range(4):
+                img = np.full((100, 80, 3), 255, np.uint8)
+                x, y = int(rng.integers(5, 30)), int(rng.integers(5, 40))
+                w, h = int(rng.integers(25, 40)), int(rng.integers(25, 40))
+                cat = 1 + i % 2
+                cv2.rectangle(img, (x, y), (min(x + w, 79), min(y + h, 99)),
+                              (255 * (cat == 1), 0, 255 * (cat == 2)), -1)
+                cv2.imwrite(f"{img_dir}/{i:012d}.jpg", img)
+                images.append({"id": i, "height": 100, "width": 80,
+                               "file_name": f"{i:012d}.jpg"})
+                anns.append({"id": i + 1, "image_id": i, "category_id": cat,
+                             "bbox": [x, y, min(w, 79 - x), min(h, 99 - y)],
+                             "area": w * h, "iscrowd": 0, "segmentation": []})
+            with open(f"{root}/annotations/instances_{split}2017.json", "w") as f:
+                json.dump({"images": images, "annotations": anns,
+                           "categories": [{"id": 1, "name": "car"},
+                                          {"id": 2, "name": "dog"}]}, f)
+
+        conf = OmegaConf.create(
+            {
+                "model": {"backbone_kind": "resnet18", "num_classes": 2,
+                          "min_size": 64, "max_size": 96, "pretrained": False},
+                "dataset": {"kind": "coco", "root_dir": root},
+                "dataloader": {"train_bs": 2, "valid_bs": 2, "test_bs": 2,
+                               "args": {"num_workers": 1}},
+                "transforms": [],
+                "optimizer": {"class_name": "torch.optim.SGD",
+                              "params": {"lr": 0.005, "momentum": 0.9}},
+                "scheduler": {"class_name": None, "params": {},
+                              "interval": "epoch", "frequency": 1, "monitor": False},
+            }
+        )
+        model = RetinaNetModel(conf)
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None, warmup_steps=0)
+        metrics = trainer.fit(model)
+        assert np.isfinite(metrics["train_loss"])
+        results = trainer.test(model)
+        assert "AP" in results[0]
