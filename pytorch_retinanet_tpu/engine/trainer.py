@@ -41,7 +41,7 @@ from ..ops import (
     retinanet_loss,
 )
 from ..parallel import MeshPlan, make_mesh
-from ..utils.metrics import MetricLogger, ProfilerHook
+from ..utils.metrics import MetricLogger, ProfilerHook, device_memory_stats
 from .callbacks import Callback, ModelCheckpoint
 from .model import RetinaNetModel
 from .optim import current_learning_rate, set_learning_rate
@@ -421,6 +421,10 @@ class Trainer:
             if interval == "epoch" and (epoch + 1) % frequency == 0:
                 self._step_scheduler(metrics.get(monitor) if monitor else None)
             metrics["lr"] = self.current_lr
+
+            mem = device_memory_stats()
+            if mem:
+                logger.info("device memory: %s", mem)
 
             for cb in self.callbacks:
                 cb.on_epoch_end(self, metrics)

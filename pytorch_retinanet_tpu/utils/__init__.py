@@ -6,7 +6,7 @@ Mirrors the reference's ``utils`` package exports (``utils/__init__.py:1-2``:
 tuples), and registry lookups replace ``load_obj``'s arbitrary dotted imports.
 """
 
-from .metrics import MetricLogger, ProfilerHook, SmoothedValue
+from .metrics import MetricLogger, ProfilerHook, SmoothedValue, device_memory_stats
 from .visualize import (
     STANDARD_COLORS,
     draw_bounding_box_on_image,
@@ -85,6 +85,7 @@ __all__ = [
     "STANDARD_COLORS",
     "SmoothedValue",
     "collate_fn",
+    "device_memory_stats",
     "draw_bounding_box_on_image",
     "enable_compilation_cache",
     "load_obj",

@@ -120,6 +120,26 @@ class MetricLogger:
         )
 
 
+def device_memory_stats() -> Dict[str, float]:
+    """Per-device HBM usage in MiB (TPU substitute for the reference's
+    ``torch.cuda.max_memory_allocated`` telemetry, detection_utils.py:220-224).
+
+    Returns {} on backends that don't expose memory stats (e.g. CPU).
+    """
+    import jax
+
+    out: Dict[str, float] = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats and "bytes_in_use" in stats:
+            out[f"{d.platform}{d.id}_mb"] = round(stats["bytes_in_use"] / 2**20, 1)
+            if "peak_bytes_in_use" in stats:
+                out[f"{d.platform}{d.id}_peak_mb"] = round(
+                    stats["peak_bytes_in_use"] / 2**20, 1
+                )
+    return out
+
+
 class ProfilerHook:
     """jax.profiler trace around a step range (SURVEY.md §5.1 TPU substitute
     for the reference's CUDA memory telemetry)."""
