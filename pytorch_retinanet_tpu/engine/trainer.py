@@ -422,9 +422,14 @@ class Trainer:
                 self._step_scheduler(metrics.get(monitor) if monitor else None)
             metrics["lr"] = self.current_lr
 
-            mem = device_memory_stats()
-            if mem:
-                logger.info("device memory: %s", mem)
+            # Memory telemetry only once per fit (and when supported):
+            # device.memory_stats() can be a blocking RPC on remote-dispatch
+            # backends — per-epoch polling multiplies into real wall time.
+            if not getattr(self, "_mem_logged", False):
+                self._mem_logged = True
+                mem = device_memory_stats()
+                if mem:
+                    logger.info("device memory: %s", mem)
 
             for cb in self.callbacks:
                 cb.on_epoch_end(self, metrics)
