@@ -26,6 +26,8 @@ BASELINE_IMG_PER_SEC = 27.0  # torchvision RetinaNet-R50 800px, A100 (external e
 
 
 def main() -> None:
+    import os
+
     from pytorch_retinanet_tpu.models import RetinaNetModule
     from pytorch_retinanet_tpu.ops import (
         generate_anchors_per_level,
@@ -33,7 +35,9 @@ def main() -> None:
     )
 
     backend = jax.default_backend()
-    batch = 16  # best measured throughput point (127.6 img/s vs 118 at b8 on v5e)
+    # Best measured throughput point on v5e (127.6 img/s at b16 vs 118 at b8);
+    # overridable for smaller/larger chips.
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     image_size = (800, 1344)  # the ACTUAL default 800/1333 landscape bucket
 
     module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
