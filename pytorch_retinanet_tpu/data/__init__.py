@@ -1,5 +1,6 @@
-"""Host-side data layer: datasets (coco/pascal/csv), transforms, loader."""
+"""Host-side data layer: datasets (coco/pascal/csv), transforms, loader, masks."""
 
+from . import masks
 from .coco import (
     COCOIndex,
     CocoDetectionDataset,
@@ -56,5 +57,6 @@ __all__ = [
     "get_coco",
     "get_coco_api_from_dataset",
     "get_pascal",
+    "masks",
     "pad_targets",
 ]

@@ -25,7 +25,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
-from .transforms import Compose, ToFloat, Transform
+from .transforms import Compose, ToFloat, Transform, apply_transform
 
 
 class COCOIndex:
@@ -84,8 +84,29 @@ class COCOIndex:
         }
         for i, det in enumerate(results):
             ann = dict(det)
-            x, y, w, h = ann["bbox"]
-            ann.setdefault("area", w * h)
+            if "bbox" in ann:
+                x, y, w, h = ann["bbox"]
+                ann.setdefault("area", w * h)
+            elif "segmentation" in ann:
+                # segm results: area from the RLE runs, bbox from its extent
+                # (pycocotools loadRes segm branch).
+                from .masks import area as rle_area, to_bbox
+
+                ann.setdefault("area", rle_area(ann["segmentation"]))
+                ann.setdefault("bbox", [float(v) for v in to_bbox(ann["segmentation"])])
+            elif "keypoints" in ann:
+                # keypoint results: bbox/area from the keypoint extent
+                # (pycocotools loadRes keypoints branch).
+                kp = np.asarray(ann["keypoints"], np.float64)
+                xs, ys = kp[0::3], kp[1::3]
+                x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+                ann.setdefault("area", float((x1 - x0) * (y1 - y0)))
+                ann.setdefault(
+                    "bbox", [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
+                )
+                ann.setdefault(
+                    "num_keypoints", int(np.count_nonzero(kp[2::3]))
+                )
             ann.setdefault("iscrowd", 0)
             ann["id"] = i + 1
             res["annotations"].append(ann)
@@ -93,33 +114,13 @@ class COCOIndex:
 
 
 def _polygons_to_mask(segmentation, height: int, width: int) -> np.ndarray:
-    """Rasterize COCO polygon segmentation into a binary mask.
+    """Rasterize any COCO segmentation payload (polygons, uncompressed RLE,
+    compressed-string RLE) into a binary mask — replacement for pycocotools'
+    ``frPyObjects``+``decode`` (reference coco_utils.py:25-45). Full codec in
+    :mod:`.masks`."""
+    from .masks import segmentation_to_mask
 
-    Dependency-free replacement for pycocotools' ``frPyObjects``+``decode``
-    used by the reference (coco_utils.py:25-45 ``convert_coco_poly_to_mask``);
-    cv2.fillPoly implements the same even-odd polygon fill. RLE-dict
-    segmentations (crowd regions) decode via the counts expansion below.
-    """
-    import cv2
-
-    mask = np.zeros((height, width), np.uint8)
-    if isinstance(segmentation, dict):  # uncompressed RLE {counts, size}
-        counts = segmentation.get("counts")
-        if isinstance(counts, list):
-            flat = np.zeros(height * width, np.uint8)
-            pos, val = 0, 0
-            for run in counts:
-                if val:
-                    flat[pos : pos + run] = 1
-                pos += run
-                val ^= 1
-            # COCO RLE is column-major
-            mask = flat.reshape((width, height)).T.copy()
-        return mask
-    for poly in segmentation:
-        pts = np.asarray(poly, np.float64).reshape(-1, 2)
-        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
-    return mask
+    return segmentation_to_mask(segmentation, height, width)
 
 
 def _coco_target_to_arrays(
@@ -209,6 +210,13 @@ class CocoDetectionDataset:
     def __len__(self) -> int:
         return len(self.image_ids)
 
+    def get_height_and_width(self, idx: int):
+        """(h, w) from the annotation index, without decoding the image —
+        feeds the loader's orientation-grouped batching and
+        convert_to_coco_api's image-IO-free path."""
+        info = self.coco.imgs[self.image_ids[idx]]
+        return info["height"], info["width"]
+
     def load_image(self, image_id) -> np.ndarray:
         import cv2
 
@@ -220,6 +228,22 @@ class CocoDetectionDataset:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def __getitem__(self, idx: int):
+        return self.get_sample(idx)
+
+    def get_sample(self, idx: int, rng: Optional[np.random.Generator] = None):
+        """Load + transform one sample, with an optional per-sample RNG for
+        deterministic augmentation (the DetectionLoader derives one from
+        (seed, epoch, index)).
+
+        Target-style pipelines (coco_transforms.Compose, ``target_style``
+        attribute) receive the FULL target, so masks/keypoints stay
+        geometrically consistent with the image — the reference's COCO path
+        works this way (coco_utils.py:211-215). Box-style pipelines
+        (:mod:`.transforms`) only see boxes; masks/keypoints are passed
+        through untransformed, which is only valid with geometry-free
+        transforms — combine return_masks/return_keypoints with a
+        target-style pipeline when using flips/crops.
+        """
         image_id = self.image_ids[idx]
         info = self.coco.imgs[image_id]
         image = self.load_image(image_id)
@@ -230,7 +254,14 @@ class CocoDetectionDataset:
             return_masks=self.return_masks,
             return_keypoints=self.return_keypoints,
         )
-        image, boxes, labels = self.transforms(image, t["boxes"], t["labels"])
+        if getattr(self.transforms, "target_style", False):
+            image, t = self.transforms(image, t, rng=rng)
+            boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
+            labels = np.asarray(t["labels"], np.int64)
+        else:
+            image, boxes, labels = apply_transform(
+                self.transforms, image, t["boxes"], t["labels"], rng
+            )
         area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         target = {
             "boxes": boxes,

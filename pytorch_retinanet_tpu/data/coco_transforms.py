@@ -5,18 +5,25 @@ path (``utils/coco/coco_transforms.py:16-49``: ``Compose``,
 ``RandomHorizontalFlip``, ``ToTensor``). The framework's native augmentation
 API operates on ``(image, boxes, labels)`` (:mod:`.transforms`); this module
 keeps the reference's callable surface for user code that composes COCO
-transforms directly.
+transforms directly. Target-style pipelines are the ones that keep masks and
+keypoints geometrically consistent with the image (RandomHorizontalFlip flips
+all three together) — :class:`~.coco.CocoDetectionDataset` routes the full
+target through them when ``return_masks``/``return_keypoints`` is on.
 
 ``ToTensor`` here converts to float32 HWC in [0, 1] — the NHWC analog of the
 reference's CHW tensor conversion (the TPU stack is NHWC end-to-end).
+
+Like :mod:`.transforms`, every transform accepts an optional
+``rng: np.random.Generator`` for deterministic per-sample augmentation.
 """
 
 from __future__ import annotations
 
-import random
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from .transforms import _rng, accepts_rng
 
 Sample = Tuple[np.ndarray, Dict[str, np.ndarray]]
 
@@ -24,12 +31,19 @@ Sample = Tuple[np.ndarray, Dict[str, np.ndarray]]
 class Compose:
     """Chain (image, target) transforms (reference coco_transforms.py:16-22)."""
 
+    # Marks this pipeline as operating on the full target dict (masks,
+    # keypoints included) — checked by CocoDetectionDataset.
+    target_style = True
+
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)
 
-    def __call__(self, image, target) -> Sample:
+    def __call__(self, image, target, rng=None) -> Sample:
         for t in self.transforms:
-            image, target = t(image, target)
+            if rng is not None and accepts_rng(t):
+                image, target = t(image, target, rng=rng)
+            else:
+                image, target = t(image, target)
         return image, target
 
 
@@ -44,8 +58,8 @@ class RandomHorizontalFlip:
     def __init__(self, prob: float = 0.5):
         self.prob = prob
 
-    def __call__(self, image, target) -> Sample:
-        if random.random() < self.prob:
+    def __call__(self, image, target, rng=None) -> Sample:
+        if _rng(rng).random() < self.prob:
             width = image.shape[1]
             image = np.ascontiguousarray(image[:, ::-1])
             target = dict(target)
@@ -70,7 +84,7 @@ class ToTensor:
     """uint8 HWC -> float32 HWC in [0,1] (reference coco_transforms.py:43-49;
     NHWC instead of CHW — the TPU-native layout)."""
 
-    def __call__(self, image, target) -> Sample:
+    def __call__(self, image, target, rng=None) -> Sample:
         image = np.asarray(image)
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
@@ -84,6 +98,10 @@ class TargetTransformAdapter:
     def __init__(self, transform):
         self.transform = transform
 
-    def __call__(self, image, boxes, labels):
-        image, target = self.transform(image, {"boxes": boxes, "labels": labels})
+    def __call__(self, image, boxes, labels, rng=None):
+        target = {"boxes": boxes, "labels": labels}
+        if rng is not None and accepts_rng(self.transform):
+            image, target = self.transform(image, target, rng=rng)
+        else:
+            image, target = self.transform(image, target)
         return image, target["boxes"], np.asarray(target["labels"])

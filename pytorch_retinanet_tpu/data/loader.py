@@ -19,7 +19,12 @@ static-shape numpy arrays ready for ``jax.device_put``:
 Design points (SURVEY.md §5.7, §2.3):
   * **Static shapes**: images are resized by the reference's shortest-side rule
     then padded into one of two orientation buckets, so XLA compiles at most
-    two programs. Batches are grouped by bucket (aspect-ratio grouping).
+    two programs. Batches are grouped by bucket (aspect-ratio grouping, the
+    role torchvision's GroupedBatchSampler plays for the reference): indices
+    are partitioned landscape/portrait using dataset size metadata
+    (``get_height_and_width``, no image decode), batched within each group,
+    and the batch order is shuffled — so a mixed-orientation dataset never
+    letterboxes a batch up to max×max (a third compiled program, +68% pixels).
   * **Ragged GT → padded GT**: boxes padded to ``max_gt`` with a validity mask
     (the matcher makes padding rows inert).
   * **Host parallelism**: a thread pool decodes/augments samples and a small
@@ -92,16 +97,46 @@ class DetectionLoader:
         self.shard = shard
         self.num_shards = num_shards
         self.epoch = 0
-
-    def __len__(self) -> int:
-        n = len(range(self.shard, len(self.dataset), self.num_shards))
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        self._group_ids: Optional[np.ndarray] = None  # lazy, per-dataset-index
 
     # ------------------------------------------------------------------ #
-    def _load_sample(self, idx: int) -> Dict[str, np.ndarray]:
-        image, target, image_id = self.dataset[idx]
+    # Aspect-ratio (orientation) grouping
+    def _groups(self) -> np.ndarray:
+        """Orientation bucket per dataset index: 0 = portrait (h >= w, matches
+        resize_to_bucket's rule), 1 = landscape, -1 = unknown (no metadata).
+        Computed once from size metadata; never decodes an image."""
+        if self._group_ids is None:
+            n = len(self.dataset)
+            ids = np.full(n, -1, np.int8)
+            get_hw = getattr(self.dataset, "get_height_and_width", None)
+            if get_hw is not None:
+                for i in range(n):
+                    hw = get_hw(i)
+                    if hw is not None:
+                        h, w = hw
+                        ids[i] = 0 if h >= w else 1
+            self._group_ids = ids
+        return self._group_ids
+
+    def __len__(self) -> int:
+        idxs = list(range(self.shard, len(self.dataset), self.num_shards))
+        groups = self._groups()[idxs] if idxs else np.zeros(0, np.int8)
+        total = 0
+        for g in np.unique(groups):
+            n = int((groups == g).sum())
+            total += n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return total
+
+    # ------------------------------------------------------------------ #
+    def _load_sample(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        # Per-sample generator keyed on (seed, epoch, index): augmentation is
+        # bit-reproducible regardless of thread-pool scheduling order (the
+        # reference's global-`random` DataLoader workers are not).
+        if hasattr(self.dataset, "get_sample"):
+            rng = np.random.default_rng([self.seed, epoch, idx])
+            image, target, image_id = self.dataset.get_sample(idx, rng)
+        else:
+            image, target, image_id = self.dataset[idx]
         orig_h, orig_w = image.shape[:2]
         padded, (new_h, new_w), _ = resize_to_bucket(
             image, self.min_size, self.max_size
@@ -125,23 +160,38 @@ class DetectionLoader:
         }
 
     def _batched_indices(self) -> List[List[int]]:
+        """Shard → shuffle → partition by orientation group → batch within
+        each group → shuffle batch order. At most one partial batch per group
+        (2-3 per epoch); with drop_last they are dropped, with pad_last they
+        pad to the static batch size like before."""
         idxs = list(range(self.shard, len(self.dataset), self.num_shards))
+        rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idxs)
-        batches = [
-            idxs[i : i + self.batch_size]
-            for i in range(0, len(idxs), self.batch_size)
-        ]
+        group_ids = self._groups()
+        by_group: Dict[int, List[int]] = {}
+        for i in idxs:
+            by_group.setdefault(int(group_ids[i]), []).append(i)
+        batches: List[List[int]] = []
+        for g in sorted(by_group):
+            members = by_group[g]
+            batches.extend(
+                members[i : i + self.batch_size]
+                for i in range(0, len(members), self.batch_size)
+            )
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.shuffle:
+            rng.shuffle(batches)
         return batches
 
     def _collate(
         self, samples: Sequence[Dict[str, np.ndarray]]
     ) -> Dict[str, np.ndarray]:
-        # Group to the largest bucket present: letterbox mismatched orientations
-        # up (rare within a shuffled batch; torchvision pads to batch-max too).
+        # Batches are orientation-homogeneous (see _batched_indices), so this
+        # pad-to-batch-max is a no-op for grouped data; it only letterboxes
+        # mixed batches from datasets without size metadata (group -1), the
+        # same pad-to-max behavior torchvision applies to every batch.
         n_real = len(samples)
         n_total = self.batch_size if (self.pad_last and n_real < self.batch_size) else n_real
         max_h = max(s["image"].shape[0] for s in samples)
@@ -180,6 +230,7 @@ class DetectionLoader:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self.epoch
         batches = self._batched_indices()
         self.epoch += 1
         if not batches:
@@ -204,7 +255,9 @@ class DetectionLoader:
                 for batch_idxs in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self._load_sample, batch_idxs))
+                    samples = list(
+                        pool.map(lambda i: self._load_sample(i, epoch), batch_idxs)
+                    )
                     if not put_or_stop(self._collate(samples)):
                         return
             put_or_stop(None)

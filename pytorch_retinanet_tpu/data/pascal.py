@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 import numpy as np
 import pandas as pd
 
-from .transforms import Compose, ToFloat, Transform
+from .transforms import Compose, ToFloat, Transform, apply_transform
 
 logger = logging.getLogger(__name__)
 
@@ -143,11 +143,18 @@ class PascalDataset:
         }
 
     def __getitem__(self, idx: int):
+        return self.get_sample(idx)
+
+    def get_sample(self, idx: int, rng: Optional[np.random.Generator] = None):
+        """Load + transform one sample; ``rng`` makes augmentation
+        deterministic per (seed, epoch, index) — see DetectionLoader."""
         image = self.load_image(idx)
         ann = self._by_file[self.filenames[idx]]
         boxes = ann[:, :4].astype(np.float32)
         labels = ann[:, 4].astype(np.int64)
-        image, boxes, labels = self.transforms(image, boxes, labels)
+        image, boxes, labels = apply_transform(
+            self.transforms, image, boxes, labels, rng
+        )
         area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         target = {
             "boxes": boxes,

@@ -11,23 +11,71 @@ same names and parameter spellings, so reference YAML configs keep working —
 
 All transforms are pure host-side numpy/cv2: augmentation runs in data-loader
 threads, never on the TPU. Every transform takes and returns
-``(image HWC float32 [0,1], boxes [N,4] XYXY float32, labels [N] int64)``.
+``(image HWC float32 [0,1], boxes [N,4] XYXY float32, labels [N] int64)``,
+plus an optional ``rng`` (``np.random.Generator``).
+
+**Determinism**: randomness comes from the ``rng`` argument, which the
+:class:`~.loader.DetectionLoader` derives per-sample from
+``(seed, epoch, index)`` — so training data is bit-reproducible regardless of
+loader thread scheduling (the reference relies on the global ``random`` module
+from DataLoader workers, which is not). When no ``rng`` is passed (direct
+calls, user code), a module-level generator reseeded by
+:func:`~..utils.seed_everything` is used.
 """
 
 from __future__ import annotations
 
-import random
+import inspect
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 Sample = Tuple[np.ndarray, np.ndarray, np.ndarray]
 
+# Fallback generator for rng-less calls; reseeded by utils.seed_everything.
+_GLOBAL_RNG = np.random.default_rng()
+
+
+def reseed(seed: int) -> None:
+    """Reseed the fallback generator (called by ``seed_everything``)."""
+    global _GLOBAL_RNG
+    _GLOBAL_RNG = np.random.default_rng(seed)
+
+
+def _rng(rng: Optional[np.random.Generator]) -> np.random.Generator:
+    return rng if rng is not None else _GLOBAL_RNG
+
+
+_ACCEPTS_RNG_CACHE: Dict[type, bool] = {}
+
+
+def accepts_rng(t: Any) -> bool:
+    """Whether a transform callable takes an ``rng`` keyword (cached by type).
+
+    Keeps third-party/user transforms with the bare 3-arg signature working.
+    """
+    key = type(t)
+    hit = _ACCEPTS_RNG_CACHE.get(key)
+    if hit is None:
+        try:
+            hit = "rng" in inspect.signature(t.__call__).parameters
+        except (TypeError, ValueError):  # builtins / odd callables
+            hit = False
+        _ACCEPTS_RNG_CACHE[key] = hit
+    return hit
+
+
+def apply_transform(t, image, boxes, labels, rng=None) -> Sample:
+    """Call a transform, passing rng only if its signature supports it."""
+    if rng is not None and accepts_rng(t):
+        return t(image, boxes, labels, rng=rng)
+    return t(image, boxes, labels)
+
 
 class Transform:
-    """Base class: callable on (image, boxes, labels)."""
+    """Base class: callable on (image, boxes, labels[, rng])."""
 
-    def __call__(self, image, boxes, labels) -> Sample:  # pragma: no cover
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:  # pragma: no cover
         raise NotImplementedError
 
 
@@ -35,9 +83,9 @@ class Compose(Transform):
     def __init__(self, transforms: Sequence[Transform]):
         self.transforms = list(transforms)
 
-    def __call__(self, image, boxes, labels) -> Sample:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
         for t in self.transforms:
-            image, boxes, labels = t(image, boxes, labels)
+            image, boxes, labels = apply_transform(t, image, boxes, labels, rng)
         return image, boxes, labels
 
 
@@ -48,8 +96,8 @@ class HorizontalFlip(Transform):
     def __init__(self, p: float = 0.5):
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        if _rng(rng).random() < self.p:
             w = image.shape[1]
             image = np.ascontiguousarray(image[:, ::-1])
             if len(boxes):
@@ -62,8 +110,8 @@ class VerticalFlip(Transform):
     def __init__(self, p: float = 0.5):
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        if _rng(rng).random() < self.p:
             h = image.shape[0]
             image = np.ascontiguousarray(image[::-1])
             if len(boxes):
@@ -82,10 +130,11 @@ class RandomBrightnessContrast(Transform):
         self.contrast_limit = contrast_limit
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
-            b = random.uniform(-self.brightness_limit, self.brightness_limit)
-            c = random.uniform(-self.contrast_limit, self.contrast_limit)
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() < self.p:
+            b = r.uniform(-self.brightness_limit, self.brightness_limit)
+            c = r.uniform(-self.contrast_limit, self.contrast_limit)
             image = np.clip((image - 0.5) * (1.0 + c) + 0.5 + b, 0.0, 1.0).astype(
                 np.float32
             )
@@ -111,16 +160,17 @@ class ShiftScaleRotate(Transform):
         self.rotate_limit = rotate_limit
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() >= self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() >= self.p:
             return image, boxes, labels
         import cv2
 
         h, w = image.shape[:2]
-        scale = 1.0 + random.uniform(-self.scale_limit, self.scale_limit)
-        dx = random.uniform(-self.shift_limit, self.shift_limit) * w
-        dy = random.uniform(-self.shift_limit, self.shift_limit) * h
-        angle = random.uniform(-self.rotate_limit, self.rotate_limit)
+        scale = 1.0 + r.uniform(-self.scale_limit, self.scale_limit)
+        dx = r.uniform(-self.shift_limit, self.shift_limit) * w
+        dy = r.uniform(-self.shift_limit, self.shift_limit) * h
+        angle = r.uniform(-self.rotate_limit, self.rotate_limit)
         m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, scale)
         m[:, 2] += (dx, dy)
         image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR)
@@ -160,7 +210,7 @@ class Resize(Transform):
         self.width = width
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
         import cv2
 
         h, w = image.shape[:2]
@@ -180,13 +230,14 @@ class RandomCrop(Transform):
         self.width = width
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() >= self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() >= self.p:
             return image, boxes, labels
         h, w = image.shape[:2]
         ch, cw = min(self.height, h), min(self.width, w)
-        y0 = random.randint(0, h - ch)
-        x0 = random.randint(0, w - cw)
+        y0 = int(r.integers(0, h - ch + 1))
+        x0 = int(r.integers(0, w - cw + 1))
         image = image[y0 : y0 + ch, x0 : x0 + cw]
         if len(boxes):
             boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
@@ -204,11 +255,13 @@ class Blur(Transform):
         self.blur_limit = max(3, int(blur_limit))
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() < self.p:
             import cv2
 
-            k = random.choice(range(3, self.blur_limit + 1, 2))
+            ks = range(3, self.blur_limit + 1, 2)
+            k = ks[int(r.integers(len(ks)))]
             image = cv2.blur(image, (k, k))
         return image, boxes, labels
 
@@ -221,13 +274,12 @@ class GaussNoise(Transform):
         self.var_limit = var_limit
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
-            var = random.uniform(*self.var_limit)
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() < self.p:
+            var = r.uniform(*self.var_limit)
             sigma = (var**0.5) / 255.0
-            noise = np.random.default_rng(random.getrandbits(32)).normal(
-                0.0, sigma, image.shape
-            )
+            noise = r.normal(0.0, sigma, image.shape)
             image = np.clip(image.astype(np.float32) + noise, 0, 1).astype(np.float32)
         return image, boxes, labels
 
@@ -248,8 +300,9 @@ class HueSaturationValue(Transform):
         self.val_shift_limit = val_shift_limit
         self.p = p
 
-    def __call__(self, image, boxes, labels) -> Sample:
-        if random.random() < self.p:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
+        r = _rng(rng)
+        if r.random() < self.p:
             import cv2
 
             was_float = image.dtype != np.uint8
@@ -257,15 +310,15 @@ class HueSaturationValue(Transform):
                 (np.clip(image, 0, 1) * 255).astype(np.uint8) if was_float else image
             )
             hsv = cv2.cvtColor(img8, cv2.COLOR_RGB2HSV).astype(np.int16)
-            hsv[..., 0] = (hsv[..., 0] + random.uniform(
+            hsv[..., 0] = (hsv[..., 0] + r.uniform(
                 -self.hue_shift_limit, self.hue_shift_limit
             )) % 180
             hsv[..., 1] = np.clip(
-                hsv[..., 1] + random.uniform(-self.sat_shift_limit, self.sat_shift_limit),
+                hsv[..., 1] + r.uniform(-self.sat_shift_limit, self.sat_shift_limit),
                 0, 255,
             )
             hsv[..., 2] = np.clip(
-                hsv[..., 2] + random.uniform(-self.val_shift_limit, self.val_shift_limit),
+                hsv[..., 2] + r.uniform(-self.val_shift_limit, self.val_shift_limit),
                 0, 255,
             )
             out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
@@ -280,7 +333,7 @@ class ToFloat(Transform):
     def __init__(self, max_value: float = 255.0):
         self.max_value = max_value
 
-    def __call__(self, image, boxes, labels) -> Sample:
+    def __call__(self, image, boxes, labels, rng=None) -> Sample:
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / self.max_value
         return image.astype(np.float32), boxes, labels

@@ -74,9 +74,11 @@ class RetinaNetModel:
             )
         elif kind == "csv":
             self.trn_ds = PascalDataset(conf.dataset.trn_paths, trn_tfms)
+            # `is not None` (not truthiness): valid_paths may be a DataFrame,
+            # whose __bool__ raises.
             self.val_ds = (
                 PascalDataset(conf.dataset.valid_paths, build_transforms(None))
-                if conf.dataset.valid_paths
+                if conf.dataset.valid_paths is not None
                 else None
             )
             self.test_ds = PascalDataset(conf.dataset.test_paths, build_transforms(None))

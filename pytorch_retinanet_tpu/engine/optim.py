@@ -132,6 +132,11 @@ class LRScheduler:
     def lr_at(self, t: int) -> float:  # pragma: no cover
         raise NotImplementedError
 
+    def initial_lr(self) -> float:
+        """LR before the first step (torch applies lr_at(0) at construction —
+        schedulers like OneCycleLR start far below the configured max)."""
+        return self.base_lr
+
 
 class ConstantLR(LRScheduler):
     def lr_at(self, t: int) -> float:
@@ -227,6 +232,137 @@ class ReduceLROnPlateau(LRScheduler):
         return self.lr
 
 
+class LambdaLR(LRScheduler):
+    """torch.optim.lr_scheduler.LambdaLR: lr = base_lr * lr_lambda(t).
+
+    ``lr_lambda`` must be a callable (YAML can't express one — this surface
+    exists for user code that builds schedulers directly, matching the
+    reference's arbitrary-scheduler support via load_obj)."""
+
+    def __init__(self, base_lr: float, lr_lambda: Callable[[int], float]):
+        super().__init__(base_lr)
+        if not callable(lr_lambda):
+            raise TypeError("LambdaLR requires a callable lr_lambda")
+        self.lr_lambda = lr_lambda
+
+    def lr_at(self, t: int) -> float:
+        return self.base_lr * self.lr_lambda(t)
+
+    def initial_lr(self) -> float:
+        return self.lr_at(0)
+
+
+class ExponentialLR(LRScheduler):
+    """torch.optim.lr_scheduler.ExponentialLR: lr = base_lr * gamma^t."""
+
+    def __init__(self, base_lr: float, gamma: float):
+        super().__init__(base_lr)
+        self.gamma = gamma
+
+    def lr_at(self, t: int) -> float:
+        return self.base_lr * self.gamma**t
+
+
+class LinearLR(LRScheduler):
+    """torch.optim.lr_scheduler.LinearLR: linear factor ramp
+    start_factor → end_factor over total_iters steps."""
+
+    def __init__(
+        self,
+        base_lr: float,
+        start_factor: float = 1.0 / 3.0,
+        end_factor: float = 1.0,
+        total_iters: int = 5,
+    ):
+        super().__init__(base_lr)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+
+    def lr_at(self, t: int) -> float:
+        frac = min(t, self.total_iters) / self.total_iters
+        return self.base_lr * (
+            self.start_factor + (self.end_factor - self.start_factor) * frac
+        )
+
+    def initial_lr(self) -> float:
+        return self.lr_at(0)
+
+
+class CosineAnnealingWarmRestarts(LRScheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingWarmRestarts (SGDR): cosine
+    cycles of length T_0, T_0*T_mult, T_0*T_mult^2, ..."""
+
+    def __init__(
+        self, base_lr: float, T_0: int, T_mult: int = 1, eta_min: float = 0.0
+    ):
+        super().__init__(base_lr)
+        if T_0 <= 0 or T_mult < 1:
+            raise ValueError("T_0 must be > 0 and T_mult >= 1")
+        self.T_0 = T_0
+        self.T_mult = T_mult
+        self.eta_min = eta_min
+
+    def lr_at(self, t: int) -> float:
+        # locate (cycle length T_i, position T_cur) — torch's closed form
+        if self.T_mult == 1:
+            T_i, T_cur = self.T_0, t % self.T_0
+        else:
+            n = int(
+                math.log(t * (self.T_mult - 1) / self.T_0 + 1, self.T_mult)
+            )
+            T_i = self.T_0 * self.T_mult**n
+            T_cur = t - self.T_0 * (self.T_mult**n - 1) // (self.T_mult - 1)
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * T_cur / T_i)
+        ) / 2
+
+
+class OneCycleLR(LRScheduler):
+    """torch.optim.lr_scheduler.OneCycleLR (cosine strategy): ramp
+    max_lr/div_factor → max_lr over pct_start of total_steps, then anneal to
+    max_lr/(div_factor*final_div_factor). Step-interval scheduler — configure
+    with ``interval: step``. (torch's momentum cycling is not modeled; the
+    LR schedule matches.)"""
+
+    def __init__(
+        self,
+        base_lr: float,
+        max_lr: float,
+        total_steps: int,
+        pct_start: float = 0.3,
+        anneal_strategy: str = "cos",
+        div_factor: float = 25.0,
+        final_div_factor: float = 1e4,
+        **torch_only,  # cycle_momentum / base_momentum / max_momentum / three_phase
+    ):
+        super().__init__(base_lr)
+        if anneal_strategy not in ("cos", "linear"):
+            raise ValueError(f"unknown anneal_strategy {anneal_strategy!r}")
+        self.max_lr = max_lr
+        self.total_steps = total_steps
+        self.pct_start = pct_start
+        self.anneal_strategy = anneal_strategy
+        self.init_lr = max_lr / div_factor
+        self.min_lr = self.init_lr / final_div_factor
+
+    def _anneal(self, start: float, end: float, frac: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) * (1 + math.cos(math.pi * frac)) / 2
+        return start + (end - start) * frac
+
+    def lr_at(self, t: int) -> float:
+        t = min(t, self.total_steps)
+        up_steps = float(self.pct_start * self.total_steps) - 1
+        if t <= up_steps:
+            return self._anneal(self.init_lr, self.max_lr, t / up_steps)
+        down_steps = self.total_steps - up_steps - 1
+        return self._anneal(self.max_lr, self.min_lr, (t - up_steps) / down_steps)
+
+    def initial_lr(self) -> float:
+        return self.init_lr
+
+
 def warmup_scale(step: int, warmup_steps: int, warmup_factor: float) -> float:
     """Linear LR warmup multiplier (reference warmup_lr_scheduler,
     utils/coco/detection_utils.py:237-244: factor -> 1 over warmup_steps).
@@ -243,10 +379,15 @@ def warmup_scale(step: int, warmup_steps: int, warmup_factor: float) -> float:
 SCHEDULER_REGISTRY: Dict[str, type] = {}
 for _name, _cls in {
     "CosineAnnealingLR": CosineAnnealingLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
     "StepLR": StepLR,
     "MultiStepLR": MultiStepLR,
     "ReduceLROnPlateau": ReduceLROnPlateau,
     "ConstantLR": ConstantLR,
+    "LambdaLR": LambdaLR,
+    "ExponentialLR": ExponentialLR,
+    "LinearLR": LinearLR,
+    "OneCycleLR": OneCycleLR,
 }.items():
     SCHEDULER_REGISTRY[_name] = _cls
     SCHEDULER_REGISTRY[f"torch.optim.lr_scheduler.{_name}"] = _cls

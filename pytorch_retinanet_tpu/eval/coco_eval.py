@@ -52,39 +52,55 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nda
     return inter / np.maximum(union, 1e-12)
 
 
-class Params:
-    """Evaluation parameters (pycocotools.cocoeval.Params, iouType='bbox')."""
+# COCO 17-keypoint OKS sigmas (pycocotools Params.setKpParams).
+KPT_OKS_SIGMAS = np.array(
+    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
+     1.07, 1.07, 0.87, 0.87, 0.89, 0.89]
+) / 10.0
 
-    def __init__(self):
+
+class Params:
+    """Evaluation parameters (pycocotools.cocoeval.Params)."""
+
+    def __init__(self, iouType: str = "bbox"):
+        self.iouType = iouType
         self.imgIds: List = []
         self.catIds: List = []
         self.iouThrs = np.linspace(0.5, 0.95, 10)
         self.recThrs = np.linspace(0.0, 1.00, 101)
-        self.maxDets = [1, 10, 100]
-        self.areaRng = [
-            [0.0, 1e10],
-            [0.0, 32.0**2],
-            [32.0**2, 96.0**2],
-            [96.0**2, 1e10],
-        ]
-        self.areaRngLbl = ["all", "small", "medium", "large"]
+        if iouType == "keypoints":
+            self.maxDets = [20]
+            self.areaRng = [[0.0, 1e10], [32.0**2, 96.0**2], [96.0**2, 1e10]]
+            self.areaRngLbl = ["all", "medium", "large"]
+            self.kpt_oks_sigmas = KPT_OKS_SIGMAS.copy()
+        else:
+            self.maxDets = [1, 10, 100]
+            self.areaRng = [
+                [0.0, 1e10],
+                [0.0, 32.0**2],
+                [32.0**2, 96.0**2],
+                [96.0**2, 1e10],
+            ]
+            self.areaRngLbl = ["all", "small", "medium", "large"]
         self.useCats = 1
 
 
 class COCOeval:
-    """COCO bbox evaluation: evaluate → accumulate → summarize → ``stats[12]``."""
+    """COCO evaluation (bbox / segm / keypoints):
+    evaluate → accumulate → summarize → ``stats``."""
 
     def __init__(self, cocoGt: COCOIndex, cocoDt: COCOIndex, iouType: str = "bbox"):
-        if iouType != "bbox":
-            raise NotImplementedError("only bbox evaluation is supported")
+        if iouType not in ("bbox", "segm", "keypoints"):
+            raise NotImplementedError(f"unknown iouType {iouType!r}")
+        self.iouType = iouType
         self.cocoGt = cocoGt
         self.cocoDt = cocoDt
-        self.params = Params()
+        self.params = Params(iouType)
         self.params.imgIds = sorted(cocoGt.getImgIds())
         self.params.catIds = sorted(cocoGt.getCatIds())
         self.evalImgs: Dict = {}
         self.eval: Dict = {}
-        self.stats = np.zeros(12)
+        self.stats = np.zeros(10 if iouType == "keypoints" else 12)
 
     # ------------------------------------------------------------------ #
     def _prepare(self):
@@ -98,11 +114,27 @@ class COCOeval:
         for ann in self.cocoGt.anns.values():
             key = (ann["image_id"], ann["category_id"])
             if key in self._gts:
+                if self.iouType == "keypoints":
+                    # GT with no labeled keypoints is ignore-only
+                    # (pycocotools _prepare keypoints branch).
+                    ann = dict(ann)
+                    nk = ann.get(
+                        "num_keypoints",
+                        int(np.count_nonzero(
+                            np.asarray(ann.get("keypoints", []))[2::3]
+                        )) if ann.get("keypoints") is not None else 0,
+                    )
+                    ann["ignore"] = ann.get("ignore", 0) or (nk == 0)
                 self._gts[key].append(ann)
         for ann in self.cocoDt.anns.values():
             key = (ann["image_id"], ann["category_id"])
             if key in self._dts:
                 self._dts[key].append(ann)
+
+    def _gt_mask(self, ann, h: int, w: int) -> np.ndarray:
+        from ..data.masks import segmentation_to_mask
+
+        return segmentation_to_mask(ann.get("segmentation"), h, w)
 
     def evaluate(self):
         self._prepare()
@@ -127,10 +159,53 @@ class COCOeval:
         dt = dt[: self.params.maxDets[-1]]
         if not gt or not dt:
             return np.zeros((len(dt), len(gt)))
+        if self.iouType == "keypoints":
+            return self.computeOks(dt, gt)
+        crowd = np.asarray([x.get("iscrowd", 0) for x in gt])
+        if self.iouType == "segm":
+            from ..data.masks import iou as rle_iou
+
+            info = self.cocoGt.imgs[img_id]
+            h, w = int(info["height"]), int(info["width"])
+            dm = np.stack([self._gt_mask(x, h, w) for x in dt])
+            gm = np.stack([self._gt_mask(x, h, w) for x in gt])
+            return rle_iou(dm, gm, crowd)
         d = np.asarray([x["bbox"] for x in dt], np.float64)
         g = np.asarray([x["bbox"] for x in gt], np.float64)
-        crowd = np.asarray([x.get("iscrowd", 0) for x in gt])
         return bbox_iou_xywh(d, g, crowd)
+
+    def computeOks(self, dts: List[dict], gts: List[dict]) -> np.ndarray:
+        """Object Keypoint Similarity matrix [D, G]
+        (pycocotools ``computeOks``: per-keypoint gaussian falloff scaled by
+        OKS sigma and GT area; unlabeled-GT falls back to a box-distance
+        penalty)."""
+        sigmas = self.params.kpt_oks_sigmas
+        variances = (sigmas * 2.0) ** 2
+        k = len(sigmas)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.asarray(gt["keypoints"], np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = int(np.count_nonzero(vg > 0))
+            bb = gt["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.asarray(dt["keypoints"], np.float64)
+                xd, yd = d[0::3], d[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    z = np.zeros(k)
+                    dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                    dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                e = (dx**2 + dy**2) / variances / (
+                    gt.get("area", bb[2] * bb[3]) + np.spacing(1)
+                ) / 2.0
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0] if e.size else 0.0
+        return ious
 
     def evaluateImg(self, img_id, cat_id, aRng, maxDet) -> Optional[dict]:
         """Greedy per-image matching (pycocotools ``evaluateImg``, the
@@ -145,9 +220,12 @@ class COCOeval:
 
         gt_ignore0 = np.asarray(
             [
+                # closed range [lo, hi] like pycocotools (ignore if area <
+                # aRng[0] or area > aRng[1]) — half-open binning would drop
+                # areas exactly at 32^2/96^2 from small/medium
                 1
                 if (g.get("ignore", 0) or g.get("iscrowd", 0))
-                or not (aRng[0] <= g.get("area", g["bbox"][2] * g["bbox"][3]) < aRng[1])
+                or not (aRng[0] <= g.get("area", g["bbox"][2] * g["bbox"][3]) <= aRng[1])
                 else 0
                 for g in gt
             ],
@@ -211,7 +289,7 @@ class COCOeval:
         # unmatched detections outside the area range are ignored
         a = np.asarray(
             [
-                not (aRng[0] <= d.get("area", d["bbox"][2] * d["bbox"][3]) < aRng[1])
+                not (aRng[0] <= d.get("area", d["bbox"][2] * d["bbox"][3]) <= aRng[1])
                 for d in dt
             ],
             dtype=bool,
@@ -309,7 +387,28 @@ class COCOeval:
         return float(np.mean(valid)) if valid.size else -1.0
 
     def summarize(self, verbose: bool = True):
-        """Compute the canonical 12 COCO metrics into ``stats``."""
+        """Compute the canonical COCO metrics into ``stats`` (12 for
+        bbox/segm, 10 for keypoints — pycocotools summarizeDets/Kps)."""
+        if self.iouType == "keypoints":
+            defs = [
+                (1, None, "all", 20, "Average Precision  (AP) @[ OKS=0.50:0.95 | area=   all | maxDets= 20 ]"),
+                (1, 0.50, "all", 20, "Average Precision  (AP) @[ OKS=0.50      | area=   all | maxDets= 20 ]"),
+                (1, 0.75, "all", 20, "Average Precision  (AP) @[ OKS=0.75      | area=   all | maxDets= 20 ]"),
+                (1, None, "medium", 20, "Average Precision  (AP) @[ OKS=0.50:0.95 | area=medium | maxDets= 20 ]"),
+                (1, None, "large", 20, "Average Precision  (AP) @[ OKS=0.50:0.95 | area= large | maxDets= 20 ]"),
+                (0, None, "all", 20, "Average Recall     (AR) @[ OKS=0.50:0.95 | area=   all | maxDets= 20 ]"),
+                (0, 0.50, "all", 20, "Average Recall     (AR) @[ OKS=0.50      | area=   all | maxDets= 20 ]"),
+                (0, 0.75, "all", 20, "Average Recall     (AR) @[ OKS=0.75      | area=   all | maxDets= 20 ]"),
+                (0, None, "medium", 20, "Average Recall     (AR) @[ OKS=0.50:0.95 | area=medium | maxDets= 20 ]"),
+                (0, None, "large", 20, "Average Recall     (AR) @[ OKS=0.50:0.95 | area= large | maxDets= 20 ]"),
+            ]
+            self.stats = np.asarray(
+                [self._summarize(ap, thr, area, md) for ap, thr, area, md, _ in defs]
+            )
+            if verbose:
+                for (ap, thr, area, md, label), v in zip(defs, self.stats):
+                    print(f" {label} = {v:0.3f}")
+            return self.stats
         defs = [
             (1, None, "all", 100, "Average Precision  (AP) @[ IoU=0.50:0.95 | area=   all | maxDets=100 ]"),
             (1, 0.50, "all", 100, "Average Precision  (AP) @[ IoU=0.50      | area=   all | maxDets=100 ]"),
@@ -336,25 +435,38 @@ class COCOeval:
 class CocoEvaluator:
     """Reference-parity evaluation accumulator (reference coco_eval.py:15-59).
 
-    ``update`` takes ``{image_id: {"boxes" xyxy, "scores", "labels"}}`` exactly
-    like the reference's test loop feeds it (``model.py:132-138``), converts to
-    COCO xywh records (reference prepare_for_coco_detection, coco_eval.py:71-93),
-    and accumulates host-side until ``summarize``.
+    ``update`` takes ``{image_id: {"boxes" xyxy, "scores", "labels",
+    ["masks"], ["keypoints"]}}`` exactly like the reference's test loop feeds
+    it (``model.py:132-138``), converts per iou_type to COCO result records
+    (reference prepare_for_coco_detection/segmentation/keypoint,
+    coco_eval.py:71-156), and accumulates host-side until ``summarize``.
     """
+
+    SUPPORTED = ("bbox", "segm", "keypoints")
 
     def __init__(self, coco_gt: COCOIndex, iou_types: Sequence[str] = ("bbox",)):
         for t in iou_types:
-            if t != "bbox":
-                raise NotImplementedError(f"iou_type {t!r} not supported (bbox only)")
+            if t not in self.SUPPORTED:
+                raise NotImplementedError(
+                    f"iou_type {t!r} not supported (one of {self.SUPPORTED})"
+                )
         self.coco_gt = copy.deepcopy(coco_gt)
         self.iou_types = list(iou_types)
-        self.results: List[dict] = []
+        self.results: Dict[str, List[dict]] = {t: [] for t in self.iou_types}
         self.img_ids: List = []
         self.coco_eval: Dict[str, COCOeval] = {}
 
     def update(self, predictions: Dict) -> None:
         self.img_ids.extend(predictions.keys())
-        self.results.extend(self.prepare_for_coco_detection(predictions))
+        for t in self.iou_types:
+            self.results[t].extend(self.prepare(predictions, t))
+
+    def prepare(self, predictions: Dict, iou_type: str) -> List[dict]:
+        if iou_type == "bbox":
+            return self.prepare_for_coco_detection(predictions)
+        if iou_type == "segm":
+            return self.prepare_for_coco_segmentation(predictions)
+        return self.prepare_for_coco_keypoint(predictions)
 
     @staticmethod
     def prepare_for_coco_detection(predictions: Dict) -> List[dict]:
@@ -378,6 +490,55 @@ class CocoEvaluator:
             )
         return records
 
+    @staticmethod
+    def prepare_for_coco_segmentation(predictions: Dict) -> List[dict]:
+        """Binary instance masks → compressed-RLE result records (reference
+        prepare_for_coco_segmentation, coco_eval.py:95-123; masks > 0.5 like
+        the reference's threshold)."""
+        from ..data.masks import encode
+
+        records = []
+        for image_id, pred in predictions.items():
+            masks = pred.get("masks")
+            if masks is None or len(masks) == 0:
+                continue
+            masks = np.asarray(masks)
+            scores = np.asarray(pred["scores"], np.float64)
+            labels = np.asarray(pred["labels"], np.int64)
+            records.extend(
+                {
+                    "image_id": image_id,
+                    "category_id": int(labels[i]),
+                    "segmentation": encode(masks[i] > 0.5),
+                    "score": float(scores[i]),
+                }
+                for i in range(len(masks))
+            )
+        return records
+
+    @staticmethod
+    def prepare_for_coco_keypoint(predictions: Dict) -> List[dict]:
+        """[N, K, 3] keypoints → flattened result records (reference
+        prepare_for_coco_keypoint, coco_eval.py:126-156)."""
+        records = []
+        for image_id, pred in predictions.items():
+            kps = pred.get("keypoints")
+            if kps is None or len(kps) == 0:
+                continue
+            kps = np.asarray(kps, np.float64).reshape(len(kps), -1)
+            scores = np.asarray(pred["scores"], np.float64)
+            labels = np.asarray(pred["labels"], np.int64)
+            records.extend(
+                {
+                    "image_id": image_id,
+                    "category_id": int(labels[i]),
+                    "keypoints": [float(v) for v in kps[i]],
+                    "score": float(scores[i]),
+                }
+                for i in range(len(kps))
+            )
+        return records
+
     def synchronize_between_processes(self, all_gather_fn=None) -> None:
         """Merge result shards across data-parallel eval hosts (reference
         coco_eval.py:44-49/164-183 used pickle-over-NCCL; here the caller
@@ -385,19 +546,25 @@ class CocoEvaluator:
         if all_gather_fn is None:
             return
         merged_ids = all_gather_fn(self.img_ids)
-        merged_results = all_gather_fn(self.results)
         self.img_ids = [i for shard in merged_ids for i in shard]
-        self.results = [r for shard in merged_results for r in shard]
+        for t in self.iou_types:
+            merged = all_gather_fn(self.results[t])
+            self.results[t] = [r for shard in merged for r in shard]
 
     def accumulate(self) -> None:
-        coco_dt = self.coco_gt.loadRes(self.results) if self.results else COCOIndex()
-        e = COCOeval(self.coco_gt, coco_dt, "bbox")
-        e.params.imgIds = sorted(set(self.img_ids)) or e.params.imgIds
-        e.evaluate()
-        e.accumulate()
-        self.coco_eval = {"bbox": e}
+        for t in self.iou_types:
+            res = self.results[t]
+            coco_dt = self.coco_gt.loadRes(res) if res else COCOIndex()
+            e = COCOeval(self.coco_gt, coco_dt, t)
+            e.params.imgIds = sorted(set(self.img_ids)) or e.params.imgIds
+            e.evaluate()
+            e.accumulate()
+            self.coco_eval[t] = e
 
     def summarize(self, verbose: bool = True) -> np.ndarray:
-        if "bbox" not in self.coco_eval:
+        """Summarize every iou_type; returns the FIRST type's stats (the
+        trainer reads stats[0] = bbox AP like reference model.py:140-146)."""
+        if not self.coco_eval:
             self.accumulate()
-        return self.coco_eval["bbox"].summarize(verbose)
+        out = [self.coco_eval[t].summarize(verbose) for t in self.iou_types]
+        return out[0]

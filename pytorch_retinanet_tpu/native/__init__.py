@@ -32,11 +32,15 @@ _build_failed = False
 
 
 def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC]
+    # Build to a per-pid temp path then atomically rename, so a concurrent
+    # process never CDLLs a half-written library.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         logger.warning("native build failed (%s); using numpy fallbacks", e)
         return None
 
@@ -55,30 +59,49 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(path)
-        except OSError:
-            # stale binary for another arch — rebuild once
-            os.unlink(path)
+            _bind(lib)
+        except (OSError, AttributeError):
+            # stale binary (another arch, or older source missing a symbol) —
+            # rebuild once
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
             path = _build()
             if path is None:
                 _build_failed = True
                 return None
             lib = ctypes.CDLL(path)
-
-        c_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        c_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        c_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        c_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.box_iou_xyxy.argtypes = [c_f32, ctypes.c_int, c_f32, ctypes.c_int, c_f32]
-        lib.nms_xyxy.argtypes = [c_f32, ctypes.c_int, ctypes.c_float, c_u8]
-        lib.coco_iou_xywh.argtypes = [
-            c_f64, ctypes.c_int, c_f64, ctypes.c_int, c_i32, c_f64,
-        ]
-        lib.coco_match.argtypes = [
-            c_f64, ctypes.c_int, ctypes.c_int, c_f64, c_i32, c_f64,
-            ctypes.c_int, c_i32, c_i32, c_u8,
-        ]
+            _bind(lib)
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare argtypes for every entry point (raises AttributeError if the
+    binary predates a symbol — caller rebuilds)."""
+    c_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    c_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    c_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    c_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.box_iou_xyxy.argtypes = [c_f32, ctypes.c_int, c_f32, ctypes.c_int, c_f32]
+    lib.nms_xyxy.argtypes = [c_f32, ctypes.c_int, ctypes.c_float, c_u8]
+    lib.coco_iou_xywh.argtypes = [
+        c_f64, ctypes.c_int, c_f64, ctypes.c_int, c_i32, c_f64,
+    ]
+    lib.coco_match.argtypes = [
+        c_f64, ctypes.c_int, ctypes.c_int, c_f64, c_i32, c_f64,
+        ctypes.c_int, c_i32, c_i32, c_u8,
+    ]
+    lib.rle_decode_runs.argtypes = [
+        c_u32, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_u8,
+    ]
+    lib.rle_encode_mask.argtypes = [c_u8, ctypes.c_int, ctypes.c_int, c_u32]
+    lib.rle_encode_mask.restype = ctypes.c_int
+    lib.mask_iou.argtypes = [
+        c_u8, ctypes.c_int, c_u8, ctypes.c_int, c_i32, ctypes.c_long, c_f64,
+    ]
 
 
 def available() -> bool:
@@ -142,6 +165,65 @@ def coco_iou_xywh(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarr
     from ..eval.coco_eval import bbox_iou_xywh
 
     return bbox_iou_xywh(dt, gt, crowd)
+
+
+def rle_decode_runs(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Column-major COCO runs → row-major [h, w] uint8 mask."""
+    counts = np.ascontiguousarray(counts, np.uint32).reshape(-1)
+    lib = get_lib()
+    if lib is not None:
+        mask = np.zeros(h * w, np.uint8)
+        lib.rle_decode_runs(counts, len(counts), h, w, mask)
+        return mask.reshape(h, w)
+    # numpy fallback: repeat alternating values, reshape column-major
+    vals = np.zeros(len(counts), np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts.astype(np.int64))
+    out = np.zeros(h * w, np.uint8)
+    out[: len(flat)] = flat[: h * w]
+    return out.reshape((w, h)).T.copy()
+
+
+def rle_encode_mask(mask: np.ndarray) -> np.ndarray:
+    """Row-major [h, w] binary mask → column-major COCO runs (uint32)."""
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    lib = get_lib()
+    if lib is not None:
+        counts = np.zeros(h * w + 1, np.uint32)
+        m = lib.rle_encode_mask(mask, h, w, counts)
+        return counts[:m].copy()
+    flat = mask.T.reshape(-1)  # column-major
+    changes = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate([[0], changes, [flat.size]])
+    runs = np.diff(bounds).astype(np.uint32)
+    if flat.size and flat[0] == 1:  # runs must start with a 0-run
+        runs = np.concatenate([[np.uint32(0)], runs])
+    return runs
+
+
+def mask_iou(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
+    """Pairwise binary-mask IoU, crowd GT using inter/dt_area
+    (pycocotools maskUtils.iou segm semantics)."""
+    dt = np.ascontiguousarray(dt, np.uint8)
+    gt = np.ascontiguousarray(gt, np.uint8)
+    crowd = np.ascontiguousarray(crowd, np.int32).reshape(-1)
+    D, G = dt.shape[0], gt.shape[0]
+    if D == 0 or G == 0:
+        return np.zeros((D, G))
+    hw = int(np.prod(dt.shape[1:]))
+    lib = get_lib()
+    if lib is not None:
+        out = np.zeros((D, G), np.float64)
+        lib.mask_iou(dt.reshape(D, hw), D, gt.reshape(G, hw), G, crowd, hw, out)
+        return out
+    d = dt.reshape(D, hw).astype(np.float64)
+    g = gt.reshape(G, hw).astype(np.float64)
+    inter = d @ g.T
+    darea = d.sum(1, keepdims=True)
+    garea = g.sum(1, keepdims=True).T
+    union = np.where(crowd[None, :].astype(bool), darea, darea + garea - inter)
+    return inter / np.maximum(union, 1e-12)
 
 
 def coco_match(

@@ -136,4 +136,69 @@ void coco_match(const double* ious, int D, int G, const double* gt_ig,
   }
 }
 
+// ---------------------------------------------------------------------------
+// RLE mask codec (the framework's replacement for pycocotools' _mask C
+// extension, reference coco_utils.py:25-45 / coco_eval.py:95-123). COCO RLE
+// is COLUMN-major: runs alternate 0s/1s starting with 0s.
+
+// Expand runs into a row-major [h, w] uint8 mask.
+void rle_decode_runs(const uint32_t* counts, int m, int h, int w,
+                     uint8_t* mask /* h*w, row-major */) {
+  std::memset(mask, 0, (size_t)h * w);
+  long pos = 0;
+  for (int i = 0; i < m; ++i) {
+    if (i & 1) {  // odd runs are foreground
+      const long end = pos + counts[i];
+      for (long p = pos; p < end; ++p) {
+        // column-major position p -> (row = p % h, col = p / h)
+        mask[(p % h) * (size_t)w + (p / h)] = 1;
+      }
+    }
+    pos += counts[i];
+  }
+}
+
+// Row-major [h, w] uint8 mask -> column-major runs. counts must have room for
+// h*w + 1 entries; returns the run count.
+int rle_encode_mask(const uint8_t* mask, int h, int w, uint32_t* counts) {
+  int m = 0;
+  uint8_t prev = 0;
+  uint32_t run = 0;
+  for (long col = 0; col < w; ++col) {
+    for (long row = 0; row < h; ++row) {
+      const uint8_t v = mask[row * (size_t)w + col] ? 1 : 0;
+      if (v != prev) {
+        counts[m++] = run;
+        run = 0;
+        prev = v;
+      }
+      ++run;
+    }
+  }
+  counts[m++] = run;
+  return m;
+}
+
+// Pairwise mask IoU with crowd semantics (inter / dt_area for crowd GT).
+// dt: [D, h*w] row-major uint8; gt: [G, h*w]; out: [D, G] double.
+void mask_iou(const uint8_t* dt, int nd, const uint8_t* gt, int ng,
+              const int32_t* crowd, long hw, double* out) {
+  for (int d = 0; d < nd; ++d) {
+    const uint8_t* dm = dt + (size_t)d * hw;
+    long darea = 0;
+    for (long p = 0; p < hw; ++p) darea += dm[p];
+    for (int g = 0; g < ng; ++g) {
+      const uint8_t* gm = gt + (size_t)g * hw;
+      long inter = 0, garea = 0;
+      for (long p = 0; p < hw; ++p) {
+        inter += dm[p] & gm[p];
+        garea += gm[p];
+      }
+      const double uni =
+          crowd[g] ? (double)darea : (double)(darea + garea - inter);
+      out[(size_t)d * ng + g] = uni > 0.0 ? inter / uni : 0.0;
+    }
+  }
+}
+
 }  // extern "C"

@@ -163,6 +163,8 @@ def process_detections(
     """
     num_anchors, num_classes = cls_logits.shape
     k = min(pre_nms_top_k, num_anchors * num_classes)
+    # numpy anchors must become a device constant before traced gather below
+    anchors = jnp.asarray(anchors)
 
     scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))  # [A, C]
     top_scores, top_idx = jax.lax.top_k(scores.reshape(-1), k)  # descending

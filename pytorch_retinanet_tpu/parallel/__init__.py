@@ -83,7 +83,19 @@ class MeshPlan:
         return self.mesh.devices.size
 
     def shard_batch(self, batch):
-        """Device-put a host batch dict with the batch axis sharded over 'data'."""
+        """Device-put a host batch dict with the batch axis sharded over 'data'.
+
+        Multi-process: each host passes its PER-HOST batch and the global
+        array is assembled across hosts (global batch = local × hosts) via
+        ``jax.make_array_from_process_local_data`` — the ICI/DCN analog of
+        the reference's DDP per-rank batches."""
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.data_sharding, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self.data_sharding), batch
         )
@@ -128,9 +140,20 @@ def all_gather_objects(obj: Any) -> List[Any]:
     ]
 
 
-def reduce_dict(metrics: dict, mesh_plan: Optional[MeshPlan] = None) -> dict:
-    """Average a dict of scalars across devices (reference reduce_dict,
-    detection_utils.py:122-146). Under jit the loss psum happens inside the
-    train step; this is the host-side equivalent for already-materialized
-    scalars (jax arrays are replicated post-jit, so this is an unwrap)."""
-    return {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
+def reduce_dict(metrics: dict, average: bool = True) -> dict:
+    """Average (or sum) a dict of scalars across PROCESSES (reference
+    reduce_dict, detection_utils.py:122-146 — all-reduce over NCCL ranks).
+
+    Under jit the loss psum already happens inside the train step across
+    devices; this is the host-side cross-process reduction for materialized
+    scalars. Single-process it reduces to an unwrap, like the reference's
+    world_size < 2 early-return."""
+    local = {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
+    if jax.process_count() == 1:
+        return local
+    shards = all_gather_objects(local)
+    out: dict = {}
+    for k in local:
+        total = sum(s[k] for s in shards)
+        out[k] = total / len(shards) if average else total
+    return out

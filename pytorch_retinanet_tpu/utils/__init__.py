@@ -75,6 +75,9 @@ def seed_everything(seed: int) -> int:
 
     random.seed(seed)
     np.random.seed(seed % (2**32))
+    from ..data import transforms as _tfms
+
+    _tfms.reseed(seed)  # fallback generator for rng-less transform calls
     os.environ["PL_GLOBAL_SEED"] = str(seed)
     return seed
 

@@ -1,45 +1,109 @@
-"""Box/label drawing on images (PIL), reference-parity visualization.
+"""Box/label drawing on images — detection visualization.
 
-Rebuild of the reference viz utilities (``utils/detection_utils.py:32-191``):
-the 120-color table, per-box drawing with label text, and the array-level
-entry point ``visualize_boxes_and_labels_on_image_array`` with the same
-signature shape (normalized or absolute coordinates, category index, score
-display) used by the demo notebook for GT-vs-prediction comparison.
+Own-design replacement for the reference viz utilities (same public surface as
+``utils/detection_utils.py:32-191``, different machinery):
+
+* the palette is *generated* (golden-angle hue rotation → 120 hex colors)
+  rather than a hand-maintained named-color table;
+* layout is computed in a single pass per annotation (:func:`_layout_label`
+  decides chip placement once — above the box, or tucked inside it when the
+  box touches the image top), then rendered: rectangle outline + one label
+  chip with luminance-adaptive text color. Multi-line labels use PIL's
+  multiline text in one chip instead of per-string stacked rectangles.
+
+Public functions keep the reference's signatures so demo/notebook code ports
+unchanged: ``visualize_boxes_and_labels_on_image_array`` (array in/out, used
+for GT-vs-prediction comparison) and ``draw_bounding_box_on_image`` (PIL
+image, in place).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import colorsys
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# The reference's color table (utils/detection_utils.py:32-56 uses PIL's
-# named colors); a deterministic 120-entry palette.
-STANDARD_COLORS: List[str] = [
-    "AliceBlue", "Chartreuse", "Aqua", "Aquamarine", "Azure", "Beige", "Bisque",
-    "BlanchedAlmond", "BlueViolet", "BurlyWood", "CadetBlue", "AntiqueWhite",
-    "Chocolate", "Coral", "CornflowerBlue", "Cornsilk", "Crimson", "Cyan",
-    "DarkCyan", "DarkGoldenRod", "DarkGrey", "DarkKhaki", "DarkOrange",
-    "DarkOrchid", "DarkSalmon", "DarkSeaGreen", "DarkTurquoise", "DarkViolet",
-    "DeepPink", "DeepSkyBlue", "DodgerBlue", "FireBrick", "FloralWhite",
-    "ForestGreen", "Fuchsia", "Gainsboro", "GhostWhite", "Gold", "GoldenRod",
-    "Salmon", "Tan", "HoneyDew", "HotPink", "IndianRed", "Ivory", "Khaki",
-    "Lavender", "LavenderBlush", "LawnGreen", "LemonChiffon", "LightBlue",
-    "LightCoral", "LightCyan", "LightGoldenRodYellow", "LightGray", "LightGrey",
-    "LightGreen", "LightPink", "LightSalmon", "LightSeaGreen", "LightSkyBlue",
-    "LightSlateGray", "LightSlateGrey", "LightSteelBlue", "LightYellow", "Lime",
-    "LimeGreen", "Linen", "Magenta", "MediumAquaMarine", "MediumOrchid",
-    "MediumPurple", "MediumSeaGreen", "MediumSlateBlue", "MediumSpringGreen",
-    "MediumTurquoise", "MediumVioletRed", "MintCream", "MistyRose", "Moccasin",
-    "NavajoWhite", "OldLace", "Olive", "OliveDrab", "Orange", "OrangeRed",
-    "Orchid", "PaleGoldenRod", "PaleGreen", "PaleTurquoise", "PaleVioletRed",
-    "PapayaWhip", "PeachPuff", "Peru", "Pink", "Plum", "PowderBlue", "Purple",
-    "Red", "RosyBrown", "RoyalBlue", "SaddleBrown", "Green", "SandyBrown",
-    "SeaGreen", "SeaShell", "Sienna", "Silver", "SkyBlue", "SlateBlue",
-    "SlateGray", "SlateGrey", "Snow", "SpringGreen", "SteelBlue", "GreenYellow",
-    "Teal", "Thistle", "Tomato", "Turquoise", "Violet", "Wheat", "White",
-    "WhiteSmoke", "Yellow", "YellowGreen",
-]
+
+def _make_palette(n: int = 120) -> List[str]:
+    """n visually-spread colors: golden-angle hue walk, alternating
+    saturation/value rings so neighbors differ in more than hue."""
+    colors = []
+    for i in range(n):
+        hue = (i * 0.61803398875) % 1.0
+        sat = (0.95, 0.65, 0.80)[i % 3]
+        val = (0.95, 0.80)[i % 2]
+        r, g, b = colorsys.hsv_to_rgb(hue, sat, val)
+        colors.append(f"#{int(r * 255):02x}{int(g * 255):02x}{int(b * 255):02x}")
+    return colors
+
+
+#: 120-entry deterministic palette, indexed by class id (mod len).
+STANDARD_COLORS: List[str] = _make_palette(120)
+
+
+def _color_rgb(color: str) -> Tuple[int, int, int]:
+    """'#rrggbb' or a PIL color name → (r, g, b)."""
+    if color.startswith("#") and len(color) == 7:
+        return tuple(int(color[i : i + 2], 16) for i in (1, 3, 5))  # type: ignore
+    from PIL import ImageColor
+
+    return ImageColor.getrgb(color)[:3]
+
+
+def _text_color_for(chip_rgb: Tuple[int, int, int]) -> str:
+    """Black on light chips, white on dark — ITU-R BT.601 luma."""
+    luma = 0.299 * chip_rgb[0] + 0.587 * chip_rgb[1] + 0.114 * chip_rgb[2]
+    return "black" if luma > 140 else "white"
+
+
+def _load_font(size: int = 18):
+    from PIL import ImageFont
+
+    for name in ("DejaVuSans.ttf", "arial.ttf"):
+        try:
+            return ImageFont.truetype(name, size)
+        except OSError:
+            continue
+    return ImageFont.load_default()
+
+
+def _layout_label(
+    draw, text: str, font, box: Tuple[float, float, float, float], pad: int
+) -> Tuple[Tuple[float, float, float, float], Tuple[float, float]]:
+    """One-pass chip placement: above the box when there's headroom, else
+    just inside its top-left corner. Returns (chip rect, text origin)."""
+    left, top, right, bottom = box
+    tb = draw.multiline_textbbox((0, 0), text, font=font)
+    tw, th = tb[2] - tb[0], tb[3] - tb[1]
+    chip_h = th + 2 * pad
+    chip_top = top - chip_h if top >= chip_h else top
+    chip = (left, chip_top, left + tw + 2 * pad, chip_top + chip_h)
+    origin = (left + pad, chip_top + pad - tb[1])
+    return chip, origin
+
+
+def _draw_annotation(
+    pil_image,
+    box: Tuple[float, float, float, float],
+    color: str,
+    thickness: int,
+    label: Optional[str],
+) -> None:
+    """Render one box (+ optional label chip) on a PIL image in place."""
+    from PIL import ImageDraw
+
+    draw = ImageDraw.Draw(pil_image)
+    left, top, right, bottom = box
+    draw.rectangle((left, top, right, bottom), outline=color, width=thickness)
+    if not label:
+        return
+    font = _load_font()
+    chip, origin = _layout_label(draw, label, font, box, pad=max(2, thickness // 2))
+    draw.rectangle(chip, fill=color)
+    draw.multiline_text(
+        origin, label, fill=_text_color_for(_color_rgb(color)), font=font
+    )
 
 
 def draw_bounding_box_on_image(
@@ -53,51 +117,18 @@ def draw_bounding_box_on_image(
     display_str_list: Sequence[str] = (),
     use_normalized_coordinates: bool = True,
 ) -> None:
-    """Draw one box + label strings on a PIL image in place
-    (reference draw_bounding_box_on_image, utils/detection_utils.py:59-131)."""
-    from PIL import ImageDraw, ImageFont
+    """Draw one box + label strings on a PIL image in place.
 
-    draw = ImageDraw.Draw(image)
-    im_width, im_height = image.size
+    Reference-parity signature (utils/detection_utils.py:59); display strings
+    render as one multi-line chip rather than stacked per-string rectangles.
+    """
+    w, h = image.size
     if use_normalized_coordinates:
-        left, right = xmin * im_width, xmax * im_width
-        top, bottom = ymin * im_height, ymax * im_height
+        box = (xmin * w, ymin * h, xmax * w, ymax * h)
     else:
-        left, right, top, bottom = xmin, xmax, ymin, ymax
-    draw.line(
-        [(left, top), (left, bottom), (right, bottom), (right, top), (left, top)],
-        width=thickness,
-        fill=color,
-    )
-    try:
-        font = ImageFont.truetype("arial.ttf", 24)
-    except OSError:
-        font = ImageFont.load_default()
-
-    def text_size(s: str):
-        bbox = font.getbbox(s)
-        return bbox[2] - bbox[0], bbox[3] - bbox[1]
-
-    display_str_heights = [text_size(ds)[1] for ds in display_str_list]
-    total_height = (1 + 2 * 0.05) * sum(display_str_heights)
-    text_bottom = top if top > total_height else bottom + total_height
-    for display_str in display_str_list[::-1]:
-        text_width, text_height = text_size(display_str)
-        margin = int(np.ceil(0.05 * text_height))
-        draw.rectangle(
-            [
-                (left, text_bottom - text_height - 2 * margin),
-                (left + text_width, text_bottom),
-            ],
-            fill=color,
-        )
-        draw.text(
-            (left + margin, text_bottom - text_height - margin),
-            display_str,
-            fill="black",
-            font=font,
-        )
-        text_bottom -= text_height - 2 * margin
+        box = (xmin, ymin, xmax, ymax)
+    label = "\n".join(str(s) for s in display_str_list) or None
+    _draw_annotation(image, box, color, thickness, label)
 
 
 def visualize_boxes_and_labels_on_image_array(
@@ -111,35 +142,39 @@ def visualize_boxes_and_labels_on_image_array(
     min_score_thresh: float = 0.5,
     line_thickness: int = 4,
 ) -> np.ndarray:
-    """Draw detections on an HWC uint8/float image array
-    (reference visualize_boxes_and_labels_on_image_array,
-    utils/detection_utils.py:134-191). Boxes are XYXY (x1, y1, x2, y2);
-    ``scores=None`` draws groundtruth in black like the reference."""
+    """Draw detections on an HWC uint8/float image array.
+
+    Reference-parity surface (utils/detection_utils.py:134-191): boxes are
+    XYXY; ``scores=None`` means groundtruth mode (black boxes, no score text);
+    detections below ``min_score_thresh`` are skipped.
+    """
     from PIL import Image
 
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
         arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
     pil = Image.fromarray(arr)
+    w, h = pil.size
 
-    boxes = np.asarray(boxes).reshape(-1, 4)
-    n = len(boxes) if max_boxes_to_draw is None else min(len(boxes), max_boxes_to_draw)
-    for i in range(n):
-        if scores is not None and float(scores[i]) < min_score_thresh:
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    limit = len(boxes) if max_boxes_to_draw is None else max_boxes_to_draw
+    for i in range(min(len(boxes), limit)):
+        score = None if scores is None else float(scores[i])
+        if score is not None and score < min_score_thresh:
             continue
         cls = int(classes[i])
-        if label_map is not None and 0 <= cls < len(label_map):
-            name = str(label_map[cls])
-        else:
-            name = f"class {cls}"
-        if scores is None:
+        name = (
+            str(label_map[cls])
+            if label_map is not None and 0 <= cls < len(label_map)
+            else f"class {cls}"
+        )
+        if score is None:  # groundtruth mode
             color, label = "black", name
         else:
             color = STANDARD_COLORS[cls % len(STANDARD_COLORS)]
-            label = f"{name}: {int(100 * float(scores[i]))}%"
-        x1, y1, x2, y2 = (float(v) for v in boxes[i])
-        draw_bounding_box_on_image(
-            pil, y1, x1, y2, x2, color, line_thickness, [label],
-            use_normalized_coordinates=use_normalized_coordinates,
-        )
+            label = f"{name}: {score:.0%}"
+        x1, y1, x2, y2 = boxes[i]
+        if use_normalized_coordinates:
+            x1, y1, x2, y2 = x1 * w, y1 * h, x2 * w, y2 * h
+        _draw_annotation(pil, (x1, y1, x2, y2), color, line_thickness, label)
     return np.array(pil)

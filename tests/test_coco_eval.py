@@ -173,6 +173,63 @@ class TestCocoEvaluator:
         assert stats[0] == pytest.approx(1.0)
         assert stats[8] == pytest.approx(1.0)
 
+    def test_two_shard_merge_equals_single_shard(self):
+        """Simulated 2-process eval: each shard sees half the images; after
+        synchronize_between_processes with a fake 2-shard gather, the merged
+        AP must equal the single-evaluator AP (reference multi-rank protocol,
+        coco_eval.py:44-49/164-183)."""
+        gt = make_gt({1: [[10, 10, 50, 50]], 2: [[20, 20, 40, 40]],
+                      3: [[5, 5, 30, 30]], 4: [[100, 100, 80, 80]]})
+        preds = {
+            1: {"boxes": np.array([[10.0, 10, 60, 60]]),
+                "scores": np.array([0.9]), "labels": np.array([1])},
+            2: {"boxes": np.array([[20.0, 20, 60, 60]]),
+                "scores": np.array([0.8]), "labels": np.array([1])},
+            3: {"boxes": np.array([[200.0, 200, 250, 250]]),  # miss
+                "scores": np.array([0.7]), "labels": np.array([1])},
+            4: {"boxes": np.array([[100.0, 100, 180, 180]]),
+                "scores": np.array([0.6]), "labels": np.array([1])},
+        }
+        # single-process reference
+        ev_all = CocoEvaluator(gt, ["bbox"])
+        ev_all.update(preds)
+        ev_all.accumulate()
+        stats_all = ev_all.summarize(verbose=False)
+
+        # two shards merged through a fake gather
+        shard0 = CocoEvaluator(gt, ["bbox"])
+        shard1 = CocoEvaluator(gt, ["bbox"])
+        shard0.update({k: preds[k] for k in (1, 3)})
+        shard1.update({k: preds[k] for k in (2, 4)})
+
+        # fake 2-rank gather: first call merges img_ids, second merges results
+        calls = {"n": 0}
+
+        def fake_gather(obj):
+            calls["n"] += 1
+            if calls["n"] == 1:  # img_ids are gathered first
+                return [shard0.img_ids, shard1.img_ids]
+            return [shard0.results["bbox"], shard1.results["bbox"]]
+
+        shard0.synchronize_between_processes(fake_gather)
+        shard0.accumulate()
+        stats_merged = shard0.summarize(verbose=False)
+        np.testing.assert_allclose(stats_merged, stats_all)
+        assert 0.0 < stats_merged[0] < 1.0  # nondegenerate (one miss)
+
+    def test_area_boundary_closed_like_pycocotools(self):
+        """GT with area exactly 32^2 must count as BOTH 'small' and 'medium'
+        (pycocotools treats area ranges as closed intervals)."""
+        side = 32.0  # area = 1024 = 32^2 — on the small/medium boundary
+        gt = make_gt({1: [[10, 10, side, side]]})
+        stats = run_eval(
+            gt,
+            [{"image_id": 1, "category_id": 1,
+              "bbox": [10.0, 10, side, side], "score": 0.9}],
+        )
+        assert stats[3] == pytest.approx(1.0)  # AP-small
+        assert stats[4] == pytest.approx(1.0)  # AP-medium (closed bound)
+
     def test_empty_predictions_ok(self):
         gt = make_gt({1: [[10, 10, 50, 50]]})
         ev = CocoEvaluator(gt, ["bbox"])

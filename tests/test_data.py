@@ -211,20 +211,73 @@ class TestTransformOrderRegression:
         assert 0.2 < out.mean() < 0.8
 
 
-class TestMixedOrientationBatch:
-    def test_letterboxes_to_batch_max(self, tmp_path):
-        """Landscape + portrait in one batch: both padded to the batch-max
-        canvas with boxes still inside their resized extents."""
+class _SyntheticMixedDataset:
+    """In-memory mixed-orientation dataset with size metadata (no file IO)."""
+
+    def __init__(self, sizes):
+        self.sizes = list(sizes)  # [(h, w), ...]
+
+    def __len__(self):
+        return len(self.sizes)
+
+    def get_height_and_width(self, idx):
+        return self.sizes[idx]
+
+    def __getitem__(self, idx):
+        h, w = self.sizes[idx]
+        image = np.full((h, w, 3), 0.5, np.float32)
+        boxes = np.array([[2.0, 2.0, w - 2.0, h - 2.0]], np.float32)
+        return image, {"boxes": boxes, "labels": np.array([1])}, idx
+
+
+class TestOrientationGroupedBatching:
+    def test_mixed_dataset_compiles_only_two_buckets(self):
+        """The headline two-compiled-programs contract: a shuffled
+        mixed-orientation dataset must yield ONLY the landscape and portrait
+        bucket shapes — never a letterboxed max x max canvas."""
+        sizes = [(40, 80), (80, 40)] * 8  # 16 images, 50% portrait
+        ds = _SyntheticMixedDataset(sizes)
+        loader = DetectionLoader(ds, batch_size=4, min_size=32, max_size=64,
+                                 max_gt=5, num_workers=2, shuffle=True, seed=3)
+        shapes = {tuple(b["images"].shape[1:3]) for b in loader}
+        assert shapes <= {(32, 64), (64, 32)}, shapes
+        assert len(shapes) == 2  # both orientations actually seen
+
+    def test_every_image_seen_exactly_once(self):
+        sizes = [(40, 80)] * 5 + [(80, 40)] * 3  # uneven groups, partial batches
+        ds = _SyntheticMixedDataset(sizes)
+        loader = DetectionLoader(ds, batch_size=2, min_size=32, max_size=64,
+                                 max_gt=5, num_workers=1, shuffle=True, seed=0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 5  # ceil(5/2) + ceil(3/2)
+        ids = sorted(
+            int(i) for b in batches for i in b["image_ids"][b["batch_mask"]]
+        )
+        assert ids == list(range(8))
+        for b in batches:  # partial batches padded to the static batch size
+            assert b["images"].shape[0] == 2
+
+    def test_drop_last_drops_per_group_partials(self):
+        ds = _SyntheticMixedDataset([(40, 80)] * 5 + [(80, 40)] * 3)
+        loader = DetectionLoader(ds, batch_size=2, min_size=32, max_size=64,
+                                 max_gt=5, num_workers=1, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 3  # 5//2 + 3//2
+
+    def test_letterbox_fallback_without_metadata(self, tmp_path):
+        """Datasets with no size metadata keep the old pad-to-batch-max
+        behavior (torchvision semantics): landscape+portrait letterbox up."""
         import cv2
 
         rows = []
         for i, (h, w) in enumerate([(40, 80), (80, 40)]):
             p = str(tmp_path / f"{i}.png")
             cv2.imwrite(p, np.full((h, w, 3), 100, np.uint8))
-            rows.append({"filename": p, "width": w, "height": h, "class": "x",
-                         "xmin": 2.0, "ymin": 2.0, "xmax": w - 2.0, "ymax": h - 2.0,
-                         "labels": 1})
+            # no width/height columns → PascalDataset has no size metadata
+            rows.append({"filename": p, "class": "x", "xmin": 2.0, "ymin": 2.0,
+                         "xmax": w - 2.0, "ymax": h - 2.0, "labels": 1})
         ds = PascalDataset(pd.DataFrame(rows))
+        assert ds.get_height_and_width(0) is None
         loader = DetectionLoader(ds, batch_size=2, min_size=32, max_size=64,
                                  max_gt=5, num_workers=1)
         (batch,) = list(loader)
@@ -235,3 +288,55 @@ class TestMixedOrientationBatch:
             nh, nw = batch["image_sizes"][i]
             box = batch["boxes"][i][batch["valid"][i]][0]
             assert box[2] <= nw + 1e-3 and box[3] <= nh + 1e-3
+
+    def test_deterministic_augmentation_across_runs_and_workers(self, voc_dir):
+        """Same seed ⇒ bit-identical batches, regardless of the thread-pool
+        worker count (per-sample RNG keyed on (seed, epoch, index))."""
+        from pytorch_retinanet_tpu.data import GaussNoise
+
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        tfms = Compose([ToFloat(), HorizontalFlip(p=0.5), GaussNoise(p=1.0)])
+
+        def run(workers):
+            ds = PascalDataset(df, tfms)
+            loader = DetectionLoader(ds, batch_size=1, min_size=32, max_size=64,
+                                     max_gt=5, num_workers=workers, shuffle=True,
+                                     seed=7)
+            return [b["images"].copy() for b in loader]
+
+        a, b, c = run(1), (run(4)), run(4)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        for x, y in zip(b, c):
+            np.testing.assert_array_equal(x, y)
+
+    def test_epochs_differ_but_reiterate_reproducibly(self, voc_dir):
+        from pytorch_retinanet_tpu.data import GaussNoise
+
+        ann, img = voc_dir
+        df = convert_annotations_to_df(ann, img)
+        tfms = Compose([ToFloat(), GaussNoise(p=1.0)])
+        ds = PascalDataset(df, tfms)
+        loader = DetectionLoader(ds, batch_size=2, min_size=32, max_size=64,
+                                 max_gt=5, num_workers=2, seed=7)
+        e0 = [b["images"].copy() for b in loader]  # epoch 0
+        e1 = [b["images"].copy() for b in loader]  # epoch 1: different noise
+        assert any((x != y).any() for x, y in zip(e0, e1))
+        loader.epoch = 0  # resume from epoch 0 reproduces it exactly
+        e0_again = [b["images"].copy() for b in loader]
+        for x, y in zip(e0, e0_again):
+            np.testing.assert_array_equal(x, y)
+
+    def test_pascal_and_coco_expose_metadata(self, voc_dir, tmp_path):
+        ann, img = voc_dir
+        ds = PascalDataset(convert_annotations_to_df(ann, img))
+        assert ds.get_height_and_width(0) == (60, 80)
+        coco = CocoDetectionDataset(
+            str(tmp_path),
+            {"images": [{"id": 1, "height": 30, "width": 50, "file_name": "x.png"}],
+             "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                              "bbox": [1, 1, 10, 10], "area": 100, "iscrowd": 0}],
+             "categories": [{"id": 1, "name": "x"}]},
+        )
+        assert coco.get_height_and_width(0) == (30, 50)

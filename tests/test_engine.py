@@ -155,6 +155,44 @@ class TestDataParallel:
         assert leaf.sharding.is_fully_replicated
 
 
+class TestMeshRetention:
+    def test_eval_batch_pads_instead_of_shrinking_mesh(self, conf):
+        """train_bs=8 / valid_bs=6 on 8 devices: the mesh must stay 8-wide
+        (eval batches pad 6→8 with masked rows) — the old gcd sizing would
+        silently train on a 2-device mesh."""
+        import copy
+        import jax
+
+        c = copy.deepcopy(conf)
+        c.dataloader.train_bs = 8
+        c.dataloader.valid_bs = 6
+        model = RetinaNetModel(c)
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None, warmup_steps=0)
+        metrics = trainer.fit(model)
+        assert trainer.mesh.num_devices == jax.device_count() == 8
+        assert np.isfinite(metrics["val_loss"])
+
+    def test_pad_batch_rows_masks_padding(self, conf):
+        model = RetinaNetModel(conf)
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None)
+        batch = {
+            "images": np.random.rand(6, 32, 32, 3).astype(np.float32),
+            "image_sizes": np.full((6, 2), 32.0, np.float32),
+            "orig_sizes": np.full((6, 2), 32.0, np.float32),
+            "image_ids": np.arange(6, dtype=np.int64),
+            "boxes": np.zeros((6, 5, 4), np.float32),
+            "labels": np.zeros((6, 5), np.int32),
+            "valid": np.zeros((6, 5), bool),
+            "batch_mask": np.ones(6, bool),
+        }
+        out = trainer._pad_batch_rows(batch)
+        assert out["images"].shape[0] == 8
+        assert out["batch_mask"].tolist() == [True] * 6 + [False] * 2
+        assert (out["image_sizes"][6:] > 0).all()  # safe division
+        assert (out["image_ids"][6:] == -1).all()
+        assert not out["valid"][6:].any()
+
+
 class TestUnfrozenBN:
     def test_batch_stats_update_when_unfrozen(self, conf, tmp_path_factory):
         import copy

@@ -78,7 +78,99 @@ class TestSchedulers:
 
     def test_unknown_scheduler_raises(self):
         with pytest.raises(KeyError):
-            build_scheduler("torch.optim.lr_scheduler.OneCycleLR", 0.01)
+            build_scheduler("torch.optim.lr_scheduler.CyclicLR", 0.01)
+
+
+class TestTorchSchedulerParity:
+    """Registered schedulers reproduce torch.optim.lr_scheduler exactly
+    (reference accepts ANY torch scheduler via load_obj,
+    utils/detection_utils.py:12-29 + model.py:84)."""
+
+    @staticmethod
+    def _torch_lrs(sched_cls, base_lr, n, **kwargs):
+        import torch
+
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        sched = sched_cls(opt, **kwargs)
+        lrs = [opt.param_groups[0]["lr"]]
+        for _ in range(n):
+            opt.step()
+            sched.step()
+            lrs.append(opt.param_groups[0]["lr"])
+        return lrs
+
+    @staticmethod
+    def _our_lrs(name, base_lr, n, params):
+        s = build_scheduler(name, base_lr, params)
+        return [s.initial_lr()] + [s.step() for _ in range(n)]
+
+    def _assert_parity(self, torch_cls_name, base_lr, n, params):
+        import torch
+
+        tcls = getattr(torch.optim.lr_scheduler, torch_cls_name)
+        expected = self._torch_lrs(tcls, base_lr, n, **params)
+        got = self._our_lrs(
+            f"torch.optim.lr_scheduler.{torch_cls_name}", base_lr, n, params
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-12)
+
+    def test_exponential(self):
+        self._assert_parity("ExponentialLR", 0.1, 10, {"gamma": 0.9})
+
+    def test_linear(self):
+        self._assert_parity(
+            "LinearLR", 0.1, 10,
+            {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 6},
+        )
+
+    def test_cosine_warm_restarts_tmult_1(self):
+        self._assert_parity(
+            "CosineAnnealingWarmRestarts", 0.1, 12, {"T_0": 5, "T_mult": 1}
+        )
+
+    def test_cosine_warm_restarts_tmult_2(self):
+        self._assert_parity(
+            "CosineAnnealingWarmRestarts", 0.1, 20,
+            {"T_0": 3, "T_mult": 2, "eta_min": 1e-4},
+        )
+
+    def test_onecycle_cos(self):
+        self._assert_parity(
+            "OneCycleLR", 0.1, 19,
+            {"max_lr": 0.5, "total_steps": 20, "pct_start": 0.3,
+             "div_factor": 25.0, "final_div_factor": 1e3},
+        )
+
+    def test_onecycle_linear(self):
+        self._assert_parity(
+            "OneCycleLR", 0.1, 19,
+            {"max_lr": 1.0, "total_steps": 20, "pct_start": 0.25,
+             "anneal_strategy": "linear"},
+        )
+
+    def test_lambda_lr(self):
+        import torch
+
+        fn = lambda t: 1.0 / (1.0 + t)  # noqa: E731
+        expected = self._torch_lrs(
+            torch.optim.lr_scheduler.LambdaLR, 0.2, 8, lr_lambda=fn
+        )
+        got = self._our_lrs(
+            "torch.optim.lr_scheduler.LambdaLR", 0.2, 8, {"lr_lambda": fn}
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_cosine_annealing(self):
+        self._assert_parity(
+            "CosineAnnealingLR", 0.1, 10, {"T_max": 10, "eta_min": 1e-5}
+        )
+
+    def test_step_and_multistep(self):
+        self._assert_parity("StepLR", 0.1, 10, {"step_size": 3, "gamma": 0.5})
+        self._assert_parity(
+            "MultiStepLR", 0.1, 10, {"milestones": [2, 5, 9], "gamma": 0.1}
+        )
 
 
 class TestOptimizers:

@@ -31,9 +31,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--backbone", default="resnet50")
-    ap.add_argument("--height", type=int, default=832)
+    # 800x1344 IS the real default landscape bucket
+    # (resolution_buckets(800, 1333) → ceil32) — bench.py measures the same.
+    ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--baseline", type=float, default=None,
+        help="external baseline img/s for the vs_baseline field",
+    )
     args = ap.parse_args()
 
     from pytorch_retinanet_tpu.engine.optim import build_optimizer
@@ -82,12 +88,18 @@ def main() -> None:
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / args.iters
 
+    img_per_sec = args.batch / dt
+    # Same one-line JSON schema as bench.py so the driver can archive it.
     print(
         json.dumps(
             {
-                "metric": f"train_step_{args.backbone}_{args.height}x{args.width}",
+                "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / args.baseline, 2)
+                if args.baseline
+                else None,
                 "step_ms": round(dt * 1000, 1),
-                "images_per_sec": round(args.batch / dt, 2),
                 "backend": jax.default_backend(),
             }
         )

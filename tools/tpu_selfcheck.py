@@ -1,0 +1,116 @@
+"""Compiled-on-TPU kernel parity self-check → TPU_SELFCHECK.json.
+
+CI runs the Pallas NMS kernel only in interpret mode (no TPU in CI); this tool
+closes that gap: it runs the COMPILED kernel on the real chip against the C++
+sequential-greedy oracle and the pure-XLA fixpoint, across candidate-set sizes
+and densities, plus an exact-vs-approx top-k postprocess comparison, and
+writes a machine-readable artifact.
+
+Run on the TPU host: ``python tools/tpu_selfcheck.py``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from pytorch_retinanet_tpu import ops
+from pytorch_retinanet_tpu.kernels import pallas_nms_keep_mask, tpu_available
+from pytorch_retinanet_tpu.native import nms_xyxy
+from pytorch_retinanet_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def random_candidates(n: int, seed: int, crowding: float):
+    """Score-descending candidate boxes; `crowding` shrinks the area boxes
+    are drawn from, raising overlap density (deeper suppression chains)."""
+    rng = np.random.default_rng(seed)
+    extent = 800.0 * (1.0 - crowding) + 80.0 * crowding
+    centers = rng.uniform(50, 50 + extent, size=(n, 2))
+    sizes = rng.uniform(10, 120, size=(n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(
+        np.float32
+    )
+    scores = np.sort(rng.uniform(0.01, 1.0, n).astype(np.float32))[::-1].copy()
+    return boxes, scores
+
+
+def main() -> None:
+    results = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "pallas_compiled": tpu_available(),
+        "cases": [],
+        "ok": True,
+    }
+
+    for n in (200, 1000):
+        for crowding in (0.0, 0.7):
+            for seed in (0, 1, 2):
+                boxes, scores = random_candidates(n, seed, crowding)
+                oracle = nms_xyxy(boxes, 0.5)  # C++ sequential greedy
+                xla = np.asarray(ops.nms_keep_mask(boxes, scores, 0.5))
+                pallas = np.asarray(
+                    pallas_nms_keep_mask(boxes, np.ones(n, bool), 0.5)
+                )
+                case = {
+                    "n": n, "crowding": crowding, "seed": seed,
+                    "kept": int(oracle.sum()),
+                    "xla_exact": bool((xla == oracle).all()),
+                    "pallas_exact": bool((pallas == oracle).all()),
+                }
+                results["cases"].append(case)
+                if not (case["xla_exact"] and case["pallas_exact"]):
+                    results["ok"] = False
+
+    # exact vs approx top-k candidate selection on one synthetic field
+    anchors = ops.generate_anchors((256, 256))
+    rng = np.random.default_rng(5)
+    A = anchors.shape[0]
+    cls = rng.normal(-8.0, 0.3, size=(A, 8)).astype(np.float32)
+    hot = rng.choice(A, 60, replace=False)
+    cls[hot, rng.integers(0, 8, 60)] = rng.uniform(1.0, 4.0, 60)
+    reg = rng.normal(0.0, 0.1, size=(A, 4)).astype(np.float32)
+    per_level = ops.generate_anchors_per_level((256, 256))
+    splits = np.cumsum([len(a) for a in per_level])[:-1]
+    size = np.asarray((256.0, 256.0), np.float32)
+
+    def run(approx):
+        det = ops.process_detections_multilevel(
+            np.split(cls, splits), np.split(reg, splits), per_level, size,
+            approx_top_k=approx,
+        )
+        m = int(np.asarray(det.valid).sum())
+        return (
+            np.asarray(det.boxes)[:m],
+            np.asarray(det.scores)[:m],
+            np.asarray(det.labels)[:m],
+        )
+
+    eb, es, el = run(False)
+    ab, asc, al = run(True)
+    approx_match = len(es) == len(asc) and np.allclose(es, asc, atol=1e-6) and (
+        el == al
+    ).all() and np.allclose(eb, ab, atol=1e-3)
+    results["approx_topk_equals_exact_here"] = bool(approx_match)
+
+    out = os.path.join(os.path.dirname(__file__), "..", "TPU_SELFCHECK.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: v for k, v in results.items() if k != "cases"}))
+    print("all cases exact:", all(
+        c["xla_exact"] and c["pallas_exact"] for c in results["cases"]
+    ))
+    if not results["ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
