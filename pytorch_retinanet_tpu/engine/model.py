@@ -133,12 +133,14 @@ class RetinaNetModel:
             **self._loader_args(),
         )
 
-    def test_evaluator(self) -> CocoEvaluator:
+    def test_evaluator(self, iou_types=("bbox",)) -> CocoEvaluator:
         """CocoEvaluator over the test dataset's COCO GT (reference
-        test_dataloader building CocoEvaluator, model.py:105-110)."""
+        test_dataloader building CocoEvaluator, model.py:105-110).
+        ``iou_types`` ⊆ {"bbox", "segm", "keypoints"} — RetinaNet predicts
+        boxes, so the trainer uses bbox; the wider surface serves user code."""
         if self.test_ds is None:
             self.prepare_data()
-        return CocoEvaluator(get_coco_api_from_dataset(self.test_ds), ["bbox"])
+        return CocoEvaluator(get_coco_api_from_dataset(self.test_ds), list(iou_types))
 
     # ------------------------------------------------------------------ #
     # Optimization (reference model.py:76-90)

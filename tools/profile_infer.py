@@ -1,0 +1,234 @@
+"""Stage-level inference profile + roofline table → docs/ROOFLINE.md.
+
+Times the R50-FPN 800px inference pipeline in nested cuts (backbone, +FPN,
++head, +postprocess) on the real chip, computes analytic conv FLOPs per
+stage from the actual shapes, and reports achieved TFLOP/s + MFU against the
+chip's bf16 peak. This is the measurement VERDICT round 1 asked for: either
+>150 img/s or a roofline proving where the ceiling is.
+
+Run on the TPU host: ``python tools/profile_infer.py [--batch 16]``
+Optionally writes a jax.profiler trace with ``--trace-dir /tmp/trace``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_retinanet_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+# bf16 peak of the bench chip (v5e: 197 TFLOP/s; v4: 275; override by env).
+PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", "197"))
+
+
+def conv_flops(out_hw, k, cin, cout):
+    """2*MACs for one conv layer at output spatial size out_hw."""
+    return 2 * out_hw[0] * out_hw[1] * k * k * cin * cout
+
+
+def resnet50_flops(h, w):
+    """Analytic conv FLOPs of the R50 trunk (stem + 4 stages) at input h*w."""
+    fl = conv_flops((h // 2, w // 2), 7, 3, 64)  # stem
+    # (blocks, width, in_ch, stride) per stage — R50 depths (3, 4, 6, 3)
+    cfg = [(3, 64, 64, 1), (4, 128, 256, 2), (6, 256, 512, 2), (3, 512, 1024, 2)]
+    sh, sw = h // 4, w // 4
+    for blocks, width, cin, stride in cfg:
+        oh, ow = sh // stride, sw // stride
+        for b in range(blocks):
+            icin = cin if b == 0 else width * 4
+            ih, iw = (sh, sw) if b == 0 else (oh, ow)
+            s = stride if b == 0 else 1
+            fl += conv_flops((ih, iw), 1, icin, width)           # 1x1 reduce
+            fl += conv_flops((oh, ow), 3, width, width)          # 3x3 (stride)
+            fl += conv_flops((oh, ow), 1, width, width * 4)      # 1x1 expand
+            if b == 0:
+                fl += conv_flops((oh, ow), 1, icin, width * 4)   # downsample
+        sh, sw = oh, ow
+    return fl
+
+
+def fpn_flops(h, w, channels=256):
+    fl = 0
+    cs = [(h // 8, w // 8, 512), (h // 16, w // 16, 1024), (h // 32, w // 32, 2048)]
+    for lh, lw, cin in cs:
+        fl += conv_flops((lh, lw), 1, cin, channels)   # lateral
+        fl += conv_flops((lh, lw), 3, channels, channels)  # smooth
+    fl += conv_flops((h // 64, w // 64), 3, 2048, channels)   # P6
+    fl += conv_flops((h // 128, w // 128), 3, channels, channels)  # P7
+    return fl
+
+
+def head_flops(h, w, num_classes=90, anchors=9, channels=256):
+    fl = 0
+    for s in (8, 16, 32, 64, 128):
+        hw = (h // s, w // s)
+        per_subnet = 4 * conv_flops(hw, 3, channels, channels)
+        fl += 2 * per_subnet
+        fl += conv_flops(hw, 3, channels, anchors * num_classes)  # cls pred
+        fl += conv_flops(hw, 3, channels, anchors * 4)            # box pred
+    return fl
+
+
+def scalarize(fn):
+    """Wrap fn so it returns one f32 scalar reduced from every output leaf —
+    the only reliable way to force full execution on remote-dispatch backends
+    where block_until_ready on large unfetched arrays can return early."""
+
+    @jax.jit
+    def g(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    return g
+
+
+def time_fn(fn, *args, iters=20):
+    fn = scalarize(fn)
+    float(jax.device_get(fn(*args)))  # compile + warmup, hard sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jax.device_get(out))  # hard sync on the last result
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "ROOFLINE.md"))
+    args = ap.parse_args()
+
+    from pytorch_retinanet_tpu.models import RetinaNetModule
+    from pytorch_retinanet_tpu.ops import (
+        generate_anchors_per_level,
+        process_detections_multilevel_batch,
+    )
+
+    h, w = 800, 1344
+    B = args.batch
+    module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
+    images0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), images0)
+    anchors_levels = [jnp.asarray(a) for a in generate_anchors_per_level((h, w))]
+    x = jnp.asarray(np.random.default_rng(0).random((B, h, w, 3), np.float32))
+    sizes = jnp.tile(jnp.asarray([[800.0, 1333.0]], jnp.float32), (B, 1))
+
+    from pytorch_retinanet_tpu.models.backbone import ResNetBackbone
+
+    backbone = ResNetBackbone(kind="resnet50")
+
+    @jax.jit
+    def bb(v, im):
+        return backbone.apply(
+            {"params": v["params"]["backbone"],
+             "batch_stats": v["batch_stats"]["backbone"]},
+            im,
+        )
+
+    from pytorch_retinanet_tpu.models.fpn import FeaturePyramid
+
+    fpn = FeaturePyramid()
+
+    @jax.jit
+    def bb_fpn(v, im):
+        feats = backbone.apply(
+            {"params": v["params"]["backbone"],
+             "batch_stats": v["batch_stats"]["backbone"]},
+            im,
+        )
+        return fpn.apply({"params": v["params"]["fpn"]}, feats)
+
+    @jax.jit
+    def full_no_post(v, im):
+        return module.apply(v, im, False, return_levels=True)
+
+    @jax.jit
+    def full(v, im, sz):
+        cls_l, box_l = module.apply(v, im, False, return_levels=True)
+        return process_detections_multilevel_batch(
+            cls_l, box_l, anchors_levels, sz
+        )
+
+    stages = {}
+    stages["backbone"] = time_fn(bb, variables, x, iters=args.iters)
+    stages["backbone+fpn (first level out)"] = time_fn(
+        bb_fpn, variables, x, iters=args.iters
+    )
+    stages["forward (bb+fpn+head)"] = time_fn(
+        full_no_post, variables, x, iters=args.iters
+    )
+    stages["forward+postprocess"] = time_fn(full, variables, x, sizes, iters=args.iters)
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(3):
+                out = full(variables, x, sizes)
+            jax.block_until_ready(out)
+        print(f"trace written to {args.trace_dir}")
+
+    fl = {
+        "backbone": resnet50_flops(h, w) * B,
+        "fpn": fpn_flops(h, w) * B,
+        "head": head_flops(h, w) * B,
+    }
+    fl_total = sum(fl.values())
+    t_fw = stages["forward (bb+fpn+head)"]
+    t_full = stages["forward+postprocess"]
+    rows = [
+        ("backbone", stages["backbone"], fl["backbone"]),
+        ("fpn (delta)", stages["backbone+fpn (first level out)"] - stages["backbone"],
+         fl["fpn"]),
+        ("head (delta)", t_fw - stages["backbone+fpn (first level out)"], fl["head"]),
+        ("postprocess (delta)", t_full - t_fw, 0),
+        ("TOTAL forward+post", t_full, fl_total),
+    ]
+
+    lines = [
+        "# Inference roofline — R50-FPN, 800x1344, one chip",
+        "",
+        f"batch={B}, backend={jax.default_backend()}, device={jax.devices()[0]}, "
+        f"peak={PEAK_TFLOPS:.0f} bf16 TFLOP/s (override with PEAK_TFLOPS).",
+        "",
+        "| stage | ms/batch | GFLOP/batch | TFLOP/s | MFU |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t, f in rows:
+        tflops = f / t / 1e12 if t > 0 else 0.0
+        mfu = tflops / PEAK_TFLOPS
+        lines.append(
+            f"| {name} | {t*1e3:.1f} | {f/1e9:.0f} | {tflops:.1f} | {mfu:.1%} |"
+        )
+    lines += [
+        "",
+        f"Throughput: **{B/t_full:.1f} img/s/chip** end-to-end "
+        f"({B/t_fw:.1f} img/s forward-only).",
+        "",
+        "Stages with low MFU at high ms are bandwidth- or latency-bound, not",
+        "compute-bound; FLOPs are analytic conv MACs*2 (elementwise/BN excluded).",
+        "",
+        "Generated by tools/profile_infer.py.",
+    ]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[4:]))
+    print(json.dumps({"img_per_sec": round(B / t_full, 2)}))
+
+
+if __name__ == "__main__":
+    main()
