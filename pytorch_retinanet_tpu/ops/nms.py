@@ -219,11 +219,11 @@ def process_detections_multilevel(
     of END-TO-END inference).
 
     ``approx_top_k`` uses ``jax.lax.approx_max_k`` (TPU-native bucketed top-k,
-    ~recall 0.95 at the margin) for the stage-1 anchor selection; the mAP
-    effect is nil because only near-threshold candidates can be missed
-    (measured 0.0000 AP delta — PARITY_REPORT.md), but set False for
-    bit-exact parity with the reference's selection (exact mode is also cheap
-    now: stage 1 sorts [A_l], not [A_l*C]).
+    ~recall 0.95 at the margin) for BOTH the stage-1 anchor selection and the
+    stage-2 pair selection; the mAP effect is nil because only near-threshold
+    candidates can be missed (measured 0.0000 AP delta — PARITY_REPORT.md),
+    but set False for bit-exact parity with the reference's selection (exact
+    mode is also cheap now: stage 1 sorts [A_l], not [A_l*C]).
     """
     num_classes = cls_levels[0].shape[-1]
     cand_scores, cand_boxes, cand_classes = [], [], []
@@ -237,11 +237,19 @@ def process_detections_multilevel(
             _, a_idx = jax.lax.approx_max_k(anchor_max, k_anchors)
         else:
             _, a_idx = jax.lax.top_k(anchor_max, k_anchors)
-        # stage 2: exact pair selection within the gathered rows
+        # stage 2: pair selection within the gathered rows. In approx mode
+        # this is approx_max_k too — the [k*C] full sort was 9.8 ms of the
+        # 15 ms batch-16 postprocess (tools/profile_post.py), and the only
+        # pairs an approximate selection can miss sit at the rank-1000
+        # margin, far below any final top-100 detection (measured 0.0000 AP
+        # delta — PARITY_REPORT.md).
         rows = cls_l[a_idx].astype(jnp.float32)  # [k, C]
         flat = rows.reshape(-1)
         k_l = min(pre_nms_top_k, flat.shape[0])
-        s_l, idx_l = jax.lax.top_k(flat, k_l)
+        if approx_top_k and flat.shape[0] > 4 * k_l:
+            s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
+        else:
+            s_l, idx_l = jax.lax.top_k(flat, k_l)
         sel_anchor = a_idx[idx_l // num_classes]
         c_idx = (idx_l % num_classes).astype(jnp.int32)
         b_l = decode_boxes(
