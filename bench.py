@@ -46,10 +46,12 @@ def main() -> None:
     variables = module.init(rng, images)
     anchors_levels = [jnp.asarray(a) for a in generate_anchors_per_level(image_size)]
 
+    from pytorch_retinanet_tpu.models.retinanet import apply_detector
+
     @jax.jit
     def infer(variables, images, image_sizes):
-        cls_levels, box_levels = module.apply(
-            variables, images, False, return_levels=True
+        cls_levels, box_levels = apply_detector(
+            module, variables, images, return_levels=True
         )
         return process_detections_multilevel_batch(
             cls_levels, box_levels, anchors_levels, image_sizes

@@ -204,8 +204,10 @@ class Trainer:
 
         @jax.jit
         def predict_step(state: TrainState, images, image_sizes):
-            cls_levels, box_levels = module.apply(
-                variables_of(state), images, False, return_levels=True
+            from ..models.retinanet import apply_detector
+
+            cls_levels, box_levels = apply_detector(
+                module, variables_of(state), images, return_levels=True
             )
             anchors_levels = [
                 jnp.asarray(a)

@@ -6,11 +6,23 @@ relied on to keep the working set on-chip:
 
 * :mod:`.nms_pallas` — greedy NMS whose IoU matrix + suppression fixpoint stay
   in VMEM across ``while_loop`` iterations.
+* :mod:`.stem_pallas` — fused ResNet stem (7x7-s2 conv + frozen BN + ReLU +
+  3x3-s2 maxpool) as one GEMM-per-row kernel; XLA runs this region at
+  ~8 TFLOP/s (tools/profile_backbone.py) because the 3-channel conv defeats
+  its tiling.
 
-Every kernel has a pure-XLA equivalent in :mod:`..ops`; selection happens in
-the op layer (``use_pallas`` flags) with parity enforced by tests.
+Every kernel has a pure-XLA equivalent in :mod:`..ops` or
+:mod:`.stem_pallas.stem_reference_xla`; selection happens at the call sites
+(``use_pallas`` flags / inference gating) with parity enforced by tests.
 """
 
 from .nms_pallas import pallas_nms_keep_mask, tpu_available
+from .stem_pallas import fused_stem, fused_stem_supported, stem_reference_xla
 
-__all__ = ["pallas_nms_keep_mask", "tpu_available"]
+__all__ = [
+    "pallas_nms_keep_mask",
+    "tpu_available",
+    "fused_stem",
+    "fused_stem_supported",
+    "stem_reference_xla",
+]

@@ -142,7 +142,9 @@ class ResNetBackbone(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: Array, train: bool = False) -> Dict[str, Array]:
+    def __call__(
+        self, images: Array, train: bool = False, stem_in: Array | None = None
+    ) -> Dict[str, Array]:
         block_kind, depths = RESNET_SPECS[self.kind]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
         if self.remat:
@@ -150,6 +152,11 @@ class ResNetBackbone(nn.Module):
             # the backward pass for not storing intermediate activations —
             # the standard HBM-for-FLOPs trade for large-batch training.
             block_cls = nn.remat(block_cls, static_argnums=(2,))
+
+        if stem_in is not None:
+            # Precomputed stem output (the fused Pallas stem kernel,
+            # kernels/stem_pallas.py) — skip conv/bn/maxpool entirely.
+            return self._trunk(stem_in.astype(self.dtype), train, block_cls, depths)
         x = images.astype(self.dtype)
 
         # Stem: 7x7 s2 conv + BN + relu + 3x3 s2 maxpool (reference backbone.py:180-189)
@@ -184,7 +191,9 @@ class ResNetBackbone(nn.Module):
             )(x, not train)
         )
         x = max_pool_torch(x, 3, 2)
+        return self._trunk(x, train, block_cls, depths)
 
+    def _trunk(self, x: Array, train: bool, block_cls, depths) -> Dict[str, Array]:
         outputs: Dict[str, Array] = {}
         widths = (64, 128, 256, 512)
         for stage, (depth, width) in enumerate(zip(depths, widths), start=1):

@@ -128,17 +128,23 @@ def main() -> None:
     x = jnp.asarray(np.random.default_rng(0).random((B, h, w, 3), np.float32))
     sizes = jnp.tile(jnp.asarray([[800.0, 1333.0]], jnp.float32), (B, 1))
 
+    from pytorch_retinanet_tpu.kernels import fused_stem, tpu_available
     from pytorch_retinanet_tpu.models.backbone import ResNetBackbone
 
     backbone = ResNetBackbone(kind="resnet50")
+    use_fused = tpu_available()  # match the production apply_detector gating
+
+    def _backbone_feats(v, im):
+        bv = {"params": v["params"]["backbone"],
+              "batch_stats": v["batch_stats"]["backbone"]}
+        if use_fused:
+            stem = fused_stem(v, im)
+            return backbone.apply(bv, im, False, stem_in=stem)
+        return backbone.apply(bv, im)
 
     @jax.jit
     def bb(v, im):
-        return backbone.apply(
-            {"params": v["params"]["backbone"],
-             "batch_stats": v["batch_stats"]["backbone"]},
-            im,
-        )
+        return _backbone_feats(v, im)
 
     from pytorch_retinanet_tpu.models.fpn import FeaturePyramid
 
@@ -146,20 +152,18 @@ def main() -> None:
 
     @jax.jit
     def bb_fpn(v, im):
-        feats = backbone.apply(
-            {"params": v["params"]["backbone"],
-             "batch_stats": v["batch_stats"]["backbone"]},
-            im,
-        )
+        feats = _backbone_feats(v, im)
         return fpn.apply({"params": v["params"]["fpn"]}, feats)
+
+    from pytorch_retinanet_tpu.models.retinanet import apply_detector
 
     @jax.jit
     def full_no_post(v, im):
-        return module.apply(v, im, False, return_levels=True)
+        return apply_detector(module, v, im, return_levels=True)
 
     @jax.jit
     def full(v, im, sz):
-        cls_l, box_l = module.apply(v, im, False, return_levels=True)
+        cls_l, box_l = apply_detector(module, v, im, return_levels=True)
         return process_detections_multilevel_batch(
             cls_l, box_l, anchors_levels, sz
         )

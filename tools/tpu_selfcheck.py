@@ -101,6 +101,28 @@ def main() -> None:
     ).all() and np.allclose(eb, ab, atol=1e-3)
     results["approx_topk_equals_exact_here"] = bool(approx_match)
 
+    # Fused Pallas stem (compiled) vs the XLA composition it replaces.
+    import jax.numpy as jnp
+
+    from pytorch_retinanet_tpu.kernels import stem_reference_xla
+    from pytorch_retinanet_tpu.kernels.stem_pallas import _fused_stem
+
+    stem_cases = []
+    for (h, w), seed in (((64, 96), 0), ((160, 224), 1)):
+        r = np.random.default_rng(seed)
+        imgs = jnp.asarray(r.normal(0.0, 1.0, (2, h, w, 3)).astype(np.float32))
+        w7 = jnp.asarray(r.normal(0, 0.08, (7, 7, 3, 64)).astype(np.float32))
+        sc = jnp.asarray(r.uniform(0.5, 1.5, 64).astype(np.float32))
+        bi = jnp.asarray(r.normal(0, 0.2, 64).astype(np.float32))
+        ref = np.asarray(stem_reference_xla(imgs, w7, sc, bi), np.float32)
+        got = np.asarray(_fused_stem(imgs, w7, sc, bi, False), np.float32)
+        err = float(np.abs(got - ref).max())
+        ok = bool(err < 0.05)
+        stem_cases.append({"hw": [h, w], "max_abs_err": err, "ok": ok})
+        if not ok:
+            results["ok"] = False
+    results["fused_stem_compiled"] = stem_cases
+
     out = os.path.join(os.path.dirname(__file__), "..", "TPU_SELFCHECK.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
