@@ -9,28 +9,43 @@ level measured WORSE at 16.4 ms, and reduce_window maxpool alone is 4.1 ms).
 The fix is layout, not algebra: present the MXU one clean GEMM per conv row
 and keep every intermediate in VMEM until the pooled output.
 
-Formulation
------------
-Work in "packed pixel pair" units along width. With the input viewed as
-``[B, H, W/2, 6]`` (lane l = 3*p + c of an NHWC row maps to (j, t) with
-j = p // 2, t = 3*(p % 2) + c — a FREE reshape of the HBM array) and then
-transposed to ``xt [B, H, 6, W/2]`` (one XLA transpose, the only prep), a
-conv tap at pixel offset d = 3*kx - 9 + c becomes a LANE SHIFT by
-m = floor(d / 6) plus a sublane pick t = d - 6m:
+Formulation (width packed in QUADS)
+-----------------------------------
+Work in packed 4-pixel units along width. The input viewed as
+``[B, H, W/4, 12]`` (lane l = 3*p + c of an NHWC row maps to (u, t) with
+u = p // 4, t = 3*(p % 4) + c — a FREE reshape of the HBM array) is
+transposed to ``xt [B, H, 12, W/4]`` (one XLA transpose, the only prep) and
+zero-padded to 16 t-slots for DMA tiling. A conv tap at width kx then
+becomes a LANE SHIFT m' plus a sublane pick:
 
-    patch[(m, dy, t), j] = xt[2i + dy - 3, t, j + m],   m in {-2, -1, 0, 1}
+  even outputs j = 2u: pixel 4u + (kx-3) → m' = floor((kx-3)/4) in {-1, 0}
+  odd  outputs j = 2u+1: pixel 4u + (kx-1) → m' in {-1, 0, 1}
 
-So per conv output row i the whole im2col patch ``P [224, W/2]`` is FOUR
-lane-shifted copies of the input tile, each contributing 56 CONSECUTIVE
-sublanes — no gathers, no strided access. One MXU GEMM ``Wg [64, 224] x P``
-then yields the conv row transposed ``[64, W/2]``; frozen-BN scale/bias +
-ReLU fuse into the f32 accumulator, rows pool in pairs-of-rows, the width
-pool is two sublane shifts + max on the transposed result, and an
-even-sublane pick lands the NHWC ``[W/4, 64]`` output row.
+so per conv row the im2col patches are THREE lane-shifted tile copies sliced
+at CONSECUTIVE sublanes (112 per (m', row) block), and TWO MXU GEMMs
+(``We [64, 224]``, ``Wo [64, 336]``) yield the conv row's even and odd width
+positions as separate ``[64, W/4]`` registers. That parity split is the
+point: the 3-wide stride-2 maxpool at pooled column u consumes conv columns
+{2u-1, 2u, 2u+1} = {odd[u-1], even[u], odd[u]} — one lane shift + max, NO
+deinterleave (a v1 kernel that picked even sublanes post-hoc spent 6 ms in
+relayouts doing that). Frozen-BN scale/bias + ReLU fuse into the f32
+accumulator; rows pool in pairs; one cheap [64, W/4] transpose lands each
+NHWC output row.
 
 The maxpool's -inf padding is replaced by 0-padding, which is exact because
 the pool consumes ReLU outputs (all >= 0). Conv row -1 (consumed by pool
 row 0 with pad=1) is zeroed explicitly rather than computed.
+
+Mosaic constraints encoded here (each cost a debugging round on v5e):
+  * dynamic_rotate (pltpu.roll) is unreliable across lane widths — lane
+    shifts are zero-pad + STATIC slices instead;
+  * DMA slices need an 8-aligned second-minor dim and a 128-aligned minor
+    dim — hence t 12→16 and W/4 → multiple of 128;
+  * vectors sliced from different lazy lane offsets cannot be concatenated —
+    the shifted copies are materialized through VMEM scratch first;
+  * routing the per-row patch through ONE shared scratch ref creates a
+    write-after-read hazard with the in-flight dot (Mosaic overlaps the next
+    iteration's stores) — patches are assembled as values.
 
 Reference: this replaces torchvision ResNet's conv1/bn1/relu/maxpool
 (reference backbone.py:180-189) for inference on TPU; training keeps the
@@ -40,6 +55,7 @@ XLA composition via the custom-VJP backward.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -49,27 +65,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-# Pool rows computed per grid cell. 8 pool rows = 17 conv rows = 39 padded
-# input rows; bigger cells amortize the per-cell DMA latency and the 4
-# whole-tile lane-shift copies. Env-overridable for tuning/debugging.
-import os as _os
-
+# Pool rows computed per grid cell; bigger cells amortize per-cell DMA +
+# kernel-launch overhead and the whole-tile lane-shift copies.
+# Env-overridable for tuning/debugging.
 _POOL_ROWS = int(_os.environ.get("STEM_POOL_ROWS", "8"))
 
 
 def _stem_kernel(
-    xt_hbm,  # [B, H+8, 8, W2] bf16, HBM (manual DMA — windows overlap;
-    #          the per-pixel-pair dim is 6 real slots zero-padded to 8
-    #          for DMA tiling alignment)
-    wg_ref,  # [64, 224] bf16 VMEM: GEMM-form stem kernel (see _pack_weights)
+    xt_hbm,  # [B, H+8, 16, W4] bf16 HBM (12 real t-slots zero-padded to 16)
+    we_ref,  # [64, 224] bf16 VMEM: even-column GEMM weights
+    wo_ref,  # [64, 336] bf16 VMEM: odd-column GEMM weights
     sc_ref,  # [64, 1] f32 VMEM: folded BN scale
     bi_ref,  # [64, 1] f32 VMEM: folded BN bias
-    out_ref,  # [1, POOL_ROWS, W2//2, 64] bf16 VMEM block
-    xtile,  # VMEM scratch [4*pool_rows+7, 8, W2] bf16
-    rsh_ref,  # VMEM scratch [4, (4*pool_rows+7)*8, W2] bf16: lane-shifted copies
+    out_ref,  # [1, POOL_ROWS, W4, 64] bf16 VMEM block
+    xtile,  # VMEM scratch [4*pool_rows+7, 16, W4] bf16
+    rsh_ref,  # VMEM scratch [3, (4*pool_rows+7)*16, W4] bf16: shifted copies
     sem,  # DMA semaphore
     *,
-    w2: int,
+    w4: int,
     pool_rows: int,
     interpret: bool,
 ):
@@ -84,75 +97,78 @@ def _stem_kernel(
     dma.wait()
 
     n_conv = 2 * pool_rows + 1  # conv rows feeding this cell (pad=1 pool)
-    x = xtile[:].reshape(t_rows * 8, w2)
+    x = xtile[:].reshape(t_rows * 16, w4)
 
-    # Lane shifts as zero-pad + STATIC slices (Mosaic's dynamic_rotate is not
-    # reliable across lane widths; static offset slices lower to plain lane
-    # shifts, and the concatenated zeros double as the conv's width padding).
-    # Each shifted copy is STORED to scratch: the store canonicalizes the
-    # lazy layout offsets, without which the later patch assembly would mix
-    # vectors with different lane offsets (a Mosaic concat limitation).
-    zc = jnp.zeros((t_rows * 8, 2), jnp.bfloat16)
-    xp = jnp.concatenate([zc, x, zc[:, :1]], axis=1)  # [312, w2+3], lane = j+2
-    for k in range(4):  # k = m + 2, m in {-2, -1, 0, 1}
-        rsh_ref[k] = xp[:, k : k + w2]  # rsh[k][:, j] = x[:, j + m] (0-padded)
+    # Lane shifts as zero-pad + STATIC slices; the zeros double as the
+    # conv's width padding. Stored to scratch to canonicalize lane offsets.
+    zc = jnp.zeros((t_rows * 16, 1), jnp.bfloat16)
+    xp = jnp.concatenate([zc, x, zc], axis=1)  # [., w4+2], lane = u+1
+    for k in range(3):  # k = m' + 1, m' in {-1, 0, 1}
+        rsh_ref[k] = xp[:, k : k + w4]  # rsh[k][:, u] = x[:, u + m']
 
-    wg = wg_ref[:]
+    we = we_ref[:]
+    wo = wo_ref[:]
     scale = sc_ref[:]  # [64, 1]
     bias = bi_ref[:]
 
-    # Conv rows for this cell: global i = 2*pool_rows*q - 1 + il.
-    # Conv row i reads padded input rows 2i+2 .. 2i+8 → tile rows 2il .. 2il+6
-    # → X sublanes [16*il, 16*il + 56) per lane-shift copy (8 slots/row).
-    ys = []
+    # Conv rows for this cell: global i = 2*pool_rows*q - 1 + il. Conv row i
+    # reads padded input rows 2i+2 .. 2i+8 → tile rows 2il .. 2il+6 → X
+    # sublanes [32*il, 32*il + 112) per shifted copy (16 slots/row).
+    ys_e, ys_o = [], []
     for il in range(n_conv):
-        # Assemble the patch as a VALUE from the canonical scratch copies —
-        # routing it through one shared scratch ref instead creates a
-        # write-after-read hazard: Mosaic overlaps the next iteration's
-        # stores with the in-flight dot's operand read (observed as a
-        # scheduling-dependent subset of corrupted conv rows on v5e).
-        p_mat = jnp.concatenate(
-            [rsh_ref[k, 16 * il : 16 * il + 56] for k in range(4)], axis=0
-        )  # [224, w2]
-        acc = jax.lax.dot_general(
-            wg,
-            p_mat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [64, w2]
-        y = jnp.maximum(acc * scale + bias, 0.0).astype(jnp.bfloat16)
+        sl = slice(32 * il, 32 * il + 112)
+        # Patches as VALUES (not via a shared scratch ref — see module doc).
+        p_e = jnp.concatenate([rsh_ref[0, sl], rsh_ref[1, sl]], axis=0)
+        p_o = jnp.concatenate(
+            [rsh_ref[0, sl], rsh_ref[1, sl], rsh_ref[2, sl]], axis=0
+        )
+        acc_e = jax.lax.dot_general(
+            we, p_e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [64, w4]
+        acc_o = jax.lax.dot_general(
+            wo, p_o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        y_e = jnp.maximum(acc_e * scale + bias, 0.0).astype(jnp.bfloat16)
+        y_o = jnp.maximum(acc_o * scale + bias, 0.0).astype(jnp.bfloat16)
         if il == 0:
             # global conv row -1 exists only as pool padding — force 0.
-            y = jnp.where(q > 0, y, jnp.bfloat16(0))
-        ys.append(y)
+            y_e = jnp.where(q > 0, y_e, jnp.bfloat16(0))
+            y_o = jnp.where(q > 0, y_o, jnp.bfloat16(0))
+        ys_e.append(y_e)
+        ys_o.append(y_o)
 
-    zrow = jnp.zeros((1, 64), jnp.bfloat16)
+    zl = jnp.zeros((64, 1), jnp.bfloat16)
     for pp in range(pool_rows):
-        rm = jnp.maximum(jnp.maximum(ys[2 * pp], ys[2 * pp + 1]), ys[2 * pp + 2])
-        rt = rm.T  # [w2, 64] — width now in sublanes
-        up = jnp.concatenate([zrow, rt[:-1]], axis=0)  # row j-1 (0-padded)
-        dn = jnp.concatenate([rt[1:], zrow], axis=0)  # row j+1 (0-padded)
-        wm = jnp.maximum(jnp.maximum(up, rt), dn)
-        # pooled width u keeps rows 2u (Mosaic rejects strided slices —
-        # split the sublane dim and take the even half instead)
-        sel = wm.reshape(w2 // 2, 2, 64)[:, 0, :]  # [w2//2, 64]
-        out_ref[0, pp] = sel
+        rm_e = jnp.maximum(
+            jnp.maximum(ys_e[2 * pp], ys_e[2 * pp + 1]), ys_e[2 * pp + 2]
+        )
+        rm_o = jnp.maximum(
+            jnp.maximum(ys_o[2 * pp], ys_o[2 * pp + 1]), ys_o[2 * pp + 2]
+        )
+        # pooled column u = max(odd[u-1], even[u], odd[u]); odd[-1] is pad(0)
+        o_prev = jnp.concatenate([zl, rm_o[:, :-1]], axis=1)
+        wm = jnp.maximum(jnp.maximum(o_prev, rm_e), rm_o)  # [64, w4]
+        out_ref[0, pp] = wm.T  # [w4, 64] — NHWC row
 
+def _pack_weights(w7: Array) -> Tuple[Array, Array]:
+    """[7, 7, 3, 64] stem kernel → (We [64, 224], Wo [64, 336]) GEMM forms.
 
-def _pack_weights(w7: Array) -> Array:
-    """[7, 7, 3, 64] stem kernel → [64, 224] GEMM form.
-
-    Row (m_idx * 56 + dy * 8 + t) holds w7[dy, kx, c] with t = 3*s + c
-    (t in [0, 6); slots 6-7 are the DMA-alignment zero padding) and
-    kx = 2*m + 3 + s (zero where kx falls outside the 7-tap kernel)."""
+    Row ((m'+1) * 112 + dy * 16 + 3*d + c) holds w7[dy, kx, c] where
+    kx = 4*m' + d + 3 (even outputs) or 4*m' + d + 1 (odd outputs), zeroed
+    when kx falls outside the 7-tap kernel; t-slots 12..15 are the DMA
+    alignment padding."""
     w7 = w7.astype(jnp.float32)
-    wg = jnp.zeros((4, 7, 8, 64), jnp.float32)
-    for m_idx, m in enumerate((-2, -1, 0, 1)):
-        for s in (0, 1):
-            kx = 2 * m + 3 + s
-            if 0 <= kx <= 6:
-                wg = wg.at[m_idx, :, 3 * s : 3 * s + 3, :].set(w7[:, kx, :, :])
-    return wg.reshape(224, 64).T.astype(jnp.bfloat16)  # [64, 224]
+
+    def pack(offset, n_shifts, first_shift):
+        wg = jnp.zeros((n_shifts, 7, 16, 64), jnp.float32)
+        for k, mp in enumerate(range(first_shift, first_shift + n_shifts)):
+            for d in range(4):
+                kx = 4 * mp + d + offset
+                if 0 <= kx <= 6:
+                    wg = wg.at[k, :, 3 * d : 3 * d + 3, :].set(w7[:, kx, :, :])
+        return wg.reshape(n_shifts * 112, 64).T.astype(jnp.bfloat16)
+
+    return pack(3, 2, -1), pack(1, 3, -1)
 
 
 def stem_reference_xla(
@@ -183,17 +199,16 @@ def _fused_stem_impl(
 ) -> Array:
     b, h, w, c = images.shape
     assert c == 3 and h % 4 == 0 and w % 4 == 0, images.shape
-    w2 = w // 2
-    # Mosaic DMA slices need a 128-aligned minor dim: pad the packed-pair
-    # width. The pad lanes are zero input → their conv/pool columns are
-    # garbage (relu(bias)) and are sliced off the output; column w2//2 - 1
-    # only reads real lanes, so the result is unaffected.
-    w2p = -(-w2 // 128) * 128
-    # free reshape + one transpose: lanes become packed-pair index j
-    xt = images.astype(jnp.bfloat16).reshape(b, h, w2, 6).transpose(0, 1, 3, 2)
-    # conv pad 3 + pool-pad rows; the t dim pads 6→8 for DMA tiling
-    xt = jnp.pad(xt, ((0, 0), (5, 3), (0, 2), (0, w2p - w2)))
-    wg = _pack_weights(w7)
+    w4 = w // 4
+    # Mosaic DMA slices need a 128-aligned minor dim: pad the packed-quad
+    # width. Pad lanes are zero input → their conv/pool columns are garbage
+    # (relu(bias)) and are sliced off; column w4 - 1 only reads real lanes.
+    w4p = -(-w4 // 128) * 128
+    # free reshape + one transpose: lanes become packed-quad index u
+    xt = images.astype(jnp.bfloat16).reshape(b, h, w4, 12).transpose(0, 1, 3, 2)
+    # conv pad 3 + pool-pad rows; t pads 12→16 for DMA tiling
+    xt = jnp.pad(xt, ((0, 0), (5, 3), (0, 4), (0, w4p - w4)))
+    we, wo = _pack_weights(w7)
     sc = scale.astype(jnp.float32).reshape(64, 1)
     bi = bias.astype(jnp.float32).reshape(64, 1)
 
@@ -203,7 +218,7 @@ def _fused_stem_impl(
     t_rows = 4 * pool_rows + 7
     grid = (b, h // (4 * pool_rows))
     kernel = functools.partial(
-        _stem_kernel, w2=w2p, pool_rows=pool_rows, interpret=interpret
+        _stem_kernel, w4=w4p, pool_rows=pool_rows, interpret=interpret
     )
     out = pl.pallas_call(
         kernel,
@@ -211,22 +226,23 @@ def _fused_stem_impl(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # manual halo DMA
             pl.BlockSpec((64, 224), lambda bb, qq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 336), lambda bb, qq: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 1), lambda bb, qq: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 1), lambda bb, qq: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, pool_rows, w2p // 2, 64), lambda bb, qq: (bb, qq, 0, 0),
+            (1, pool_rows, w4p, 64), lambda bb, qq: (bb, qq, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h // 4, w2p // 2, 64), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, h // 4, w4p, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((t_rows, 8, w2p), jnp.bfloat16),
-            pltpu.VMEM((4, t_rows * 8, w2p), jnp.bfloat16),
+            pltpu.VMEM((t_rows, 16, w4p), jnp.bfloat16),
+            pltpu.VMEM((3, t_rows * 16, w4p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xt, wg, sc, bi)
-    return out[:, :, : w2 // 2, :]
+    )(xt, we, wo, sc, bi)
+    return out[:, :, :w4, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
