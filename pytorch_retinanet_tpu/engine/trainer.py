@@ -39,6 +39,7 @@ from ..ops import (
     process_detections_multilevel_batch,
     rescale_boxes,
     retinanet_loss,
+    retinanet_loss_levels,
 )
 from ..parallel import MeshPlan, make_mesh
 from ..utils.metrics import MetricLogger, ProfilerHook, device_memory_stats
@@ -149,22 +150,31 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, boxes, labels, valid):
-            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
+            # Per-level head outputs + per-level loss: skips the cross-level
+            # [B, A_total, C] concat (~10 ms/batch8 at 800px on v5e) — see
+            # ops.retinanet_loss_levels.
+            anchors_levels = [
+                jnp.asarray(a)
+                for a in generate_anchors_per_level(tuple(images.shape[1:3]))
+            ]
 
             def loss_fn(params):
                 variables = {"params": params}
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
                 if mutable_bn:
-                    (cls_logits, box_deltas), mut = module.apply(
-                        variables, images, True, mutable=["batch_stats"]
+                    (cls_levels, box_levels), mut = module.apply(
+                        variables, images, True, mutable=["batch_stats"],
+                        return_levels=True,
                     )
                     new_stats = mut["batch_stats"]
                 else:
-                    cls_logits, box_deltas = module.apply(variables, images, False)
+                    cls_levels, box_levels = module.apply(
+                        variables, images, False, return_levels=True
+                    )
                     new_stats = state.batch_stats
-                losses = retinanet_loss(
-                    cls_logits, box_deltas, anchors, boxes, labels, valid,
+                losses = retinanet_loss_levels(
+                    cls_levels, box_levels, anchors_levels, boxes, labels, valid,
                     num_classes=num_classes,
                 )
                 total = losses["classification_loss"] + losses["regression_loss"]
@@ -192,11 +202,16 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, images, boxes, labels, valid):
-            anchors = jnp.asarray(generate_anchors(tuple(images.shape[1:3])))
-            cls_logits, box_deltas = module.apply(variables_of(state), images, False)
+            anchors_levels = [
+                jnp.asarray(a)
+                for a in generate_anchors_per_level(tuple(images.shape[1:3]))
+            ]
+            cls_levels, box_levels = module.apply(
+                variables_of(state), images, False, return_levels=True
+            )
             # Per-image losses so the host can mask padded batch rows.
-            losses = retinanet_loss(
-                cls_logits, box_deltas, anchors, boxes, labels, valid,
+            losses = retinanet_loss_levels(
+                cls_levels, box_levels, anchors_levels, boxes, labels, valid,
                 num_classes=num_classes, reduction="none",
             )
             losses["loss"] = losses["classification_loss"] + losses["regression_loss"]

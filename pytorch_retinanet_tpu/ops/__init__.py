@@ -18,7 +18,12 @@ from .boxes import (
     small_box_mask,
     xyxy_to_cxcywh,
 )
-from .losses import retinanet_loss, sigmoid_focal_loss, smooth_l1_loss
+from .losses import (
+    retinanet_loss,
+    retinanet_loss_levels,
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+)
 from .matcher import BACKGROUND, IGNORE, MatchResult, match_anchors, match_anchors_batch
 from .nms import (
     Detections,
@@ -54,6 +59,7 @@ __all__ = [
     "process_detections_multilevel_batch",
     "rescale_boxes",
     "retinanet_loss",
+    "retinanet_loss_levels",
     "sigmoid_focal_loss",
     "small_box_mask",
     "smooth_l1_loss",

@@ -112,39 +112,14 @@ def retinanet_loss(
       {"classification_loss", "regression_loss"} — same keys as the reference
       (losses.py:143-144).
     """
-    cls_logits = cls_logits.astype(jnp.float32)
-    box_deltas = box_deltas.astype(jnp.float32)
-    gt_boxes = gt_boxes.astype(jnp.float32)
-    batch = cls_logits.shape[0]
-
-    matches, _ = match_anchors_batch(
-        anchors, gt_boxes, gt_valid, fg_iou_thr, bg_iou_thr
-    )  # [B, A]
-
-    fg_mask = matches >= 0  # [B, A]
-    num_fg = jnp.sum(fg_mask, axis=1)  # [B]
+    reg_sum, cls_sum, num_fg = _loss_sums(
+        cls_logits, box_deltas, anchors, gt_boxes, gt_labels, gt_valid,
+        num_classes=num_classes, fg_iou_thr=fg_iou_thr, bg_iou_thr=bg_iou_thr,
+        alpha=alpha, gamma=gamma, beta=beta, reg_weights=reg_weights,
+    )
     norm = jnp.maximum(num_fg.astype(jnp.float32), 1.0)  # [B]
-
-    # ---- Regression: smooth-L1 on encoded deltas of foreground anchors ---- #
-    safe_idx = jnp.maximum(matches, 0)  # [B, A]
-    matched_boxes = jnp.take_along_axis(gt_boxes, safe_idx[..., None], axis=1)  # [B, A, 4]
-    reg_targets = encode_boxes(matched_boxes, anchors[None], reg_weights)  # [B, A, 4]
-    reg_elem = smooth_l1_loss(box_deltas, reg_targets, beta)  # [B, A, 4]
-    reg_per_image = jnp.sum(
-        jnp.sum(reg_elem, axis=-1) * fg_mask.astype(jnp.float32), axis=1
-    )  # [B]
-    regression_loss = reg_per_image / norm
-
-    # ---- Classification: focal loss on non-ignored anchors ---- #
-    # Foreground anchors get one-hot(label - 1) over C classes; background all-zero.
-    matched_labels = jnp.take_along_axis(gt_labels, safe_idx, axis=1)  # [B, A]
-    fg_labels = jnp.where(fg_mask, matched_labels, 0)  # 0 => background row
-    # one_hot over C+1 then drop column 0 (reference losses.py:96-102).
-    cls_targets = _one_hot(fg_labels, num_classes + 1)[..., 1:]  # [B, A, C]
-    cls_elem = sigmoid_focal_loss(cls_logits, cls_targets, alpha, gamma)  # [B, A, C]
-    not_ignored = (matches >= -1).astype(jnp.float32)  # [B, A]
-    cls_per_image = jnp.sum(jnp.sum(cls_elem, axis=-1) * not_ignored, axis=1)  # [B]
-    classification_loss = cls_per_image / norm
+    regression_loss = reg_sum / norm
+    classification_loss = cls_sum / norm
 
     if reduction == "mean":
         classification_loss = jnp.mean(classification_loss)
@@ -153,6 +128,127 @@ def retinanet_loss(
         "classification_loss": classification_loss,
         "regression_loss": regression_loss,
     }
+
+
+def retinanet_loss_levels(
+    cls_levels,
+    box_levels,
+    anchors_levels,
+    gt_boxes: Array,
+    gt_labels: Array,
+    gt_valid: Array,
+    *,
+    num_classes: int,
+    fg_iou_thr: float = IOU_THRESHOLDS_FOREGROUND,
+    bg_iou_thr: float = IOU_THRESHOLDS_BACKGROUND,
+    alpha: float = FOCAL_LOSS_ALPHA,
+    gamma: float = FOCAL_LOSS_GAMMA,
+    beta: float = SMOOTH_L1_LOSS_BETA,
+    reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+    reduction: str = "mean",
+) -> Dict[str, Array]:
+    """:func:`retinanet_loss` on PER-LEVEL head outputs — identical result.
+
+    Matching is per-anchor and the per-image foreground normalizer is a
+    scalar, so the loss decomposes exactly into per-level unnormalized sums
+    that combine afterwards. This skips the cross-level ``[B, A_total, C]``
+    concat of the head outputs, which costs ~10 ms/batch8 at 800px on v5e —
+    the training-path twin of the per-level postprocess design (ops/nms.py).
+    """
+    reg_sum = cls_sum = num_fg = 0.0
+    for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
+        r, c, f = _loss_sums(
+            cls_l, box_l, jnp.asarray(anc_l), gt_boxes, gt_labels, gt_valid,
+            num_classes=num_classes, fg_iou_thr=fg_iou_thr,
+            bg_iou_thr=bg_iou_thr, alpha=alpha, gamma=gamma, beta=beta,
+            reg_weights=reg_weights,
+        )
+        reg_sum = reg_sum + r
+        cls_sum = cls_sum + c
+        num_fg = num_fg + f
+    norm = jnp.maximum(num_fg.astype(jnp.float32), 1.0)
+    regression_loss = reg_sum / norm
+    classification_loss = cls_sum / norm
+    if reduction == "mean":
+        classification_loss = jnp.mean(classification_loss)
+        regression_loss = jnp.mean(regression_loss)
+    return {
+        "classification_loss": classification_loss,
+        "regression_loss": regression_loss,
+    }
+
+
+def _loss_sums(
+    cls_logits: Array,
+    box_deltas: Array,
+    anchors: Array,
+    gt_boxes: Array,
+    gt_labels: Array,
+    gt_valid: Array,
+    *,
+    num_classes: int,
+    fg_iou_thr: float,
+    bg_iou_thr: float,
+    alpha: float,
+    gamma: float,
+    beta: float,
+    reg_weights: Sequence[float],
+):
+    """Unnormalized per-image loss sums over one anchor set.
+
+    Returns (reg_sum [B], cls_sum [B], num_fg [B]) so callers can combine
+    several anchor subsets (pyramid levels) before normalizing.
+    """
+    cls_logits = cls_logits.astype(jnp.float32)
+    box_deltas = box_deltas.astype(jnp.float32)
+    gt_boxes = gt_boxes.astype(jnp.float32)
+
+    matches, _ = match_anchors_batch(
+        anchors, gt_boxes, gt_valid, fg_iou_thr, bg_iou_thr
+    )  # [B, A]
+
+    fg_mask = matches >= 0  # [B, A]
+    num_fg = jnp.sum(fg_mask, axis=1)  # [B]
+
+    # Matched-GT lookup as a one-hot MATMUL, not take_along_axis: XLA:TPU
+    # lowers a [B, A]-indexed gather from [B, N, .] to a serialized gather
+    # (~22 ms at B8/A200k — measured), while onehot[B,A,N] @ gt[B,N,5] is a
+    # tiny MXU contraction (N=100) whose backward is a matmul too (the
+    # gather's backward is an even-slower scatter-add).
+    n_gt = gt_boxes.shape[1]
+    safe_idx = jnp.maximum(matches, 0)  # [B, A]
+    onehot = (
+        safe_idx[..., None] == jnp.arange(n_gt, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [B, A, N]
+    gt_cat = jnp.concatenate(
+        [gt_boxes, gt_labels.astype(jnp.float32)[..., None]], axis=-1
+    )  # [B, N, 5]
+    gathered = jax.lax.dot_general(
+        onehot,
+        gt_cat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, A, 5]
+    matched_boxes = gathered[..., :4]
+    # exact: one-hot selection of integers <= num_classes in f32
+    matched_labels = gathered[..., 4].astype(jnp.int32)  # [B, A]
+
+    # ---- Regression: smooth-L1 on encoded deltas of foreground anchors ---- #
+    reg_targets = encode_boxes(matched_boxes, anchors[None], reg_weights)  # [B, A, 4]
+    reg_elem = smooth_l1_loss(box_deltas, reg_targets, beta)  # [B, A, 4]
+    reg_sum = jnp.sum(
+        jnp.sum(reg_elem, axis=-1) * fg_mask.astype(jnp.float32), axis=1
+    )  # [B]
+
+    # ---- Classification: focal loss on non-ignored anchors ---- #
+    # Foreground anchors get one-hot(label - 1) over C classes; background all-zero.
+    fg_labels = jnp.where(fg_mask, matched_labels, 0)  # 0 => background row
+    # one_hot over C+1 then drop column 0 (reference losses.py:96-102).
+    cls_targets = _one_hot(fg_labels, num_classes + 1)[..., 1:]  # [B, A, C]
+    cls_elem = sigmoid_focal_loss(cls_logits, cls_targets, alpha, gamma)  # [B, A, C]
+    not_ignored = (matches >= -1).astype(jnp.float32)  # [B, A]
+    cls_sum = jnp.sum(jnp.sum(cls_elem, axis=-1) * not_ignored, axis=1)  # [B]
+    return reg_sum, cls_sum, num_fg
 
 
 def _one_hot(x: Array, num_classes: int) -> Array:

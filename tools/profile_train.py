@@ -63,7 +63,11 @@ def main() -> None:
     from profile_infer import fpn_flops, head_flops, resnet50_flops
 
     from pytorch_retinanet_tpu.models import RetinaNetModule
-    from pytorch_retinanet_tpu.ops import generate_anchors, retinanet_loss
+    from pytorch_retinanet_tpu.ops import (
+        generate_anchors,
+        generate_anchors_per_level,
+        retinanet_loss_levels,
+    )
 
     h, w = 800, 1344
     B = args.batch
@@ -76,6 +80,7 @@ def main() -> None:
     variables = module.init(jax.random.PRNGKey(0), images0)
     params = variables["params"]
     anchors = jnp.asarray(generate_anchors((h, w)))
+    anchors_levels = [jnp.asarray(a) for a in generate_anchors_per_level((h, w))]
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((B, h, w, 3), np.float32))
@@ -95,11 +100,13 @@ def main() -> None:
     opt_state = tx.init(params)
 
     def loss_fn(params, x, boxes, labels, valid):
-        cls_logits, box_deltas = module.apply(
-            {"params": params, "batch_stats": variables["batch_stats"]}, x, False
+        # per-level outputs + per-level loss — mirrors Trainer's train_step
+        cls_levels, box_levels = module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x, False,
+            return_levels=True,
         )
-        losses = retinanet_loss(
-            cls_logits, box_deltas, anchors, boxes, labels, valid,
+        losses = retinanet_loss_levels(
+            cls_levels, box_levels, anchors_levels, boxes, labels, valid,
             num_classes=num_classes,
         )
         return losses["classification_loss"] + losses["regression_loss"]
