@@ -78,9 +78,9 @@ def _stem_kernel(
     sc_ref,  # [64, 1] f32 VMEM: folded BN scale
     bi_ref,  # [64, 1] f32 VMEM: folded BN bias
     out_ref,  # [1, POOL_ROWS, W4, 64] bf16 VMEM block
-    xtile,  # VMEM scratch [4*pool_rows+7, 16, W4] bf16
+    xtile,  # VMEM scratch [2, 4*pool_rows+7, 16, W4] bf16 (double buffer)
     rsh_ref,  # VMEM scratch [3, (4*pool_rows+7)*16, W4] bf16: shifted copies
-    sem,  # DMA semaphore
+    sem,  # DMA semaphores, one per buffer slot
     *,
     w4: int,
     pool_rows: int,
@@ -88,16 +88,39 @@ def _stem_kernel(
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)  # cell index along pooled height
+    n_q = pl.num_programs(1)
     t_rows = 4 * pool_rows + 7  # padded input rows feeding this cell
 
-    dma = pltpu.make_async_copy(
-        xt_hbm.at[b, pl.ds(4 * pool_rows * q, t_rows)], xtile, sem
-    )
-    dma.start()
-    dma.wait()
+    # Double-buffered halo DMA: grid cells run sequentially on one core and
+    # scratch persists across them, so each cell prefetches the NEXT cell's
+    # tile while it computes (guide pattern; hides the per-cell DMA latency).
+    idx = b * n_q + q
+    slot = jax.lax.rem(idx, 2)
+    next_slot = 1 - slot
+
+    def _start(i, s):
+        bb = jax.lax.div(i, n_q)
+        qq = jax.lax.rem(i, n_q)
+        pltpu.make_async_copy(
+            xt_hbm.at[bb, pl.ds(4 * pool_rows * qq, t_rows)],
+            xtile.at[s],
+            sem.at[s],
+        ).start()
+
+    @pl.when(idx == 0)
+    def _():
+        _start(idx, slot)
+
+    @pl.when(idx + 1 < pl.num_programs(0) * n_q)
+    def _():
+        _start(idx + 1, next_slot)
+
+    pltpu.make_async_copy(
+        xt_hbm.at[b, pl.ds(4 * pool_rows * q, t_rows)], xtile.at[slot], sem.at[slot]
+    ).wait()
 
     n_conv = 2 * pool_rows + 1  # conv rows feeding this cell (pad=1 pool)
-    x = xtile[:].reshape(t_rows * 16, w4)
+    x = xtile[slot].reshape(t_rows * 16, w4)
 
     # Lane shifts as zero-pad + STATIC slices; the zeros double as the
     # conv's width padding. Stored to scratch to canonicalize lane offsets.
@@ -236,9 +259,9 @@ def _fused_stem_impl(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h // 4, w4p, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((t_rows, 16, w4p), jnp.bfloat16),
+            pltpu.VMEM((2, t_rows, 16, w4p), jnp.bfloat16),
             pltpu.VMEM((3, t_rows * 16, w4p), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xt, we, wo, sc, bi)
