@@ -1,0 +1,126 @@
+"""Serving export: the compiled inference program as a portable artifact.
+
+The reference's deployment story is ``torch.save(state_dict)`` + rebuilding
+the model in Python (demo cells 23/25). A TPU serving stack wants the
+COMPILED program, not a Python object graph: this module exports the fused
+inference step (normalize → fused stem → trunk → head → postprocess,
+``models.retinanet.apply_detector`` semantics) through ``jax.export`` into a
+single serialized StableHLO artifact with the weights baked in as constants.
+The artifact is loadable from any JAX process with no framework code on the
+import path beyond jax itself — the moral equivalent of a TorchScript /
+SavedModel bundle.
+
+Shapes are static by design (the bucket system, docs/DESIGN.md §1): one
+artifact per (batch, resolution bucket). Export on the machine type you will
+serve on — lowered programs are platform-specific (a TPU artifact contains
+the Mosaic kernels; a CPU artifact the XLA:CPU lowering).
+
+Usage::
+
+    from pytorch_retinanet_tpu.export import export_inference, load_exported
+
+    blob = export_inference(net, batch_size=8)      # bytes
+    open("r50_800x1344_b8.stablehlo", "wb").write(blob)
+
+    infer = load_exported(blob)                     # or a file path
+    dets = infer(images, image_sizes)               # dict of arrays
+
+CLI: ``python tools/export_model.py --backbone resnet50 --batch 8``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def export_inference(
+    net,
+    batch_size: int,
+    bucket: Optional[Tuple[int, int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the fused inference step for one (batch, bucket) config.
+
+    Args:
+      net: a :class:`..models.Retinanet` (weights are captured as constants).
+      batch_size: static batch size of the exported program.
+      bucket: (H, W) padded input shape; defaults to the model's landscape
+        bucket (``resolution_buckets(min_size, max_size)[0]``).
+      platforms: lowering platforms (default: the current backend).
+
+    Returns:
+      Serialized ``jax.export`` artifact bytes. Inputs of the exported
+      program: ``images [B, H, W, 3] f32 in [0, 1]``, ``image_sizes [B, 2]
+      f32`` (resized-image (h, w) per row, for box clipping). Outputs:
+      ``(boxes [B, D, 4], scores [B, D], labels [B, D], valid [B, D])``.
+    """
+    from .models.retinanet import resolution_buckets
+
+    if bucket is None:
+        bucket = resolution_buckets(net.min_size, net.max_size)[0]
+    h, w = int(bucket[0]), int(bucket[1])
+    variables = net.variables
+
+    def infer(images, image_sizes):
+        det = net._predict_impl(variables, images, image_sizes)
+        return det.boxes, det.scores, det.labels, det.valid
+
+    args = (
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 2), jnp.float32),
+    )
+    exported = jax.export.export(
+        jax.jit(infer), platforms=list(platforms) if platforms else None
+    )(*args)
+    return bytes(exported.serialize())
+
+
+def save_exported(
+    net,
+    path: str,
+    batch_size: int,
+    bucket: Optional[Tuple[int, int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """``export_inference`` to a file; returns the path."""
+    blob = export_inference(net, batch_size, bucket, platforms)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_exported(blob_or_path: Union[bytes, str]):
+    """Rehydrate an exported inference program.
+
+    Returns a callable ``infer(images, image_sizes) -> {"boxes", "scores",
+    "labels", "valid"}`` running the deserialized compiled program.
+    """
+    if isinstance(blob_or_path, (str, os.PathLike)):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = bytes(blob_or_path)
+    exported = jax.export.deserialize(blob)
+
+    def infer(images, image_sizes):
+        boxes, scores, labels, valid = exported.call(
+            jnp.asarray(images, jnp.float32), jnp.asarray(image_sizes, jnp.float32)
+        )
+        return {
+            "boxes": np.asarray(boxes),
+            "scores": np.asarray(scores),
+            "labels": np.asarray(labels),
+            "valid": np.asarray(valid),
+        }
+
+    infer.in_avals = exported.in_avals
+    infer.platforms = exported.platforms
+    return infer

@@ -90,20 +90,26 @@ def main() -> None:
 
     img_per_sec = args.batch / dt
     # Same one-line JSON schema as bench.py so the driver can archive it.
-    print(
-        json.dumps(
-            {
-                "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / args.baseline, 2)
-                if args.baseline
-                else None,
-                "step_ms": round(dt * 1000, 1),
-                "backend": jax.default_backend(),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}",
+            "value": round(img_per_sec, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(img_per_sec / args.baseline, 2)
+            if args.baseline
+            else None,
+            "step_ms": round(dt * 1000, 1),
+            "backend": jax.default_backend(),
+        }
     )
+    print(line)
+    # Persist at the default config so the artifact stays in sync with runs.
+    if (args.backbone, args.height, args.width, args.batch) == (
+        "resnet50", 800, 1344, 8,
+    ):
+        out = os.path.join(os.path.dirname(__file__), "..", "TRAIN_BENCH.json")
+        with open(out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
