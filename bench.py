@@ -35,9 +35,10 @@ def main() -> None:
     )
 
     backend = jax.default_backend()
-    # Best measured throughput point on v5e (127.6 img/s at b16 vs 118 at b8);
-    # overridable for smaller/larger chips.
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # Batch sweep on v5e (round 2, fused stem + approx selection):
+    # b16 204.7, b32 214.3, b64 216.2 img/s — 32 is the knee (64 doubles
+    # latency and HBM for +1%). Overridable for smaller/larger chips.
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     image_size = (800, 1344)  # the ACTUAL default 800/1333 landscape bucket
 
     module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
