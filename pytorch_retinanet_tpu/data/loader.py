@@ -118,14 +118,25 @@ class DetectionLoader:
             self._group_ids = ids
         return self._group_ids
 
-    def __len__(self) -> int:
-        idxs = list(range(self.shard, len(self.dataset), self.num_shards))
+    def _shard_batch_count(self, shard: int) -> int:
+        """Batch count a given shard will produce (before cross-shard
+        equalization) — deterministic, so every process can compute every
+        shard's count without communication."""
+        idxs = list(range(shard, len(self.dataset), self.num_shards))
         groups = self._groups()[idxs] if idxs else np.zeros(0, np.int8)
         total = 0
         for g in np.unique(groups):
             n = int((groups == g).sum())
             total += n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         return total
+
+    def __len__(self) -> int:
+        if self.num_shards > 1:
+            # equalized across shards — see _batched_indices
+            return max(
+                self._shard_batch_count(s) for s in range(self.num_shards)
+            )
+        return self._shard_batch_count(self.shard)
 
     # ------------------------------------------------------------------ #
     def _load_sample(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
@@ -159,11 +170,21 @@ class DetectionLoader:
             "valid": pvalid,
         }
 
-    def _batched_indices(self) -> List[List[int]]:
+    def _batched_indices(self) -> List[Tuple[List[int], bool]]:
         """Shard → shuffle → partition by orientation group → batch within
         each group → shuffle batch order. At most one partial batch per group
         (2-3 per epoch); with drop_last they are dropped, with pad_last they
-        pad to the static batch size like before."""
+        pad to the static batch size like before.
+
+        Returns (indices, is_filler) pairs. Multi-shard, every shard pads up
+        to the MAX batch count across shards with repeated "filler" batches
+        (orientation grouping makes per-shard counts unequal, and unequal
+        counts desynchronize the lockstep SPMD collectives — the
+        DistributedSampler problem). Fillers repeat real batches; in
+        eval/test/predict their batch_mask is all-False so they contribute
+        nothing, in training they are ordinary duplicate batches (the same
+        semantics as DistributedSampler's padded samples).
+        """
         idxs = list(range(self.shard, len(self.dataset), self.num_shards))
         rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
@@ -172,21 +193,31 @@ class DetectionLoader:
         by_group: Dict[int, List[int]] = {}
         for i in idxs:
             by_group.setdefault(int(group_ids[i]), []).append(i)
-        batches: List[List[int]] = []
+        batches: List[Tuple[List[int], bool]] = []
         for g in sorted(by_group):
             members = by_group[g]
             batches.extend(
-                members[i : i + self.batch_size]
+                (members[i : i + self.batch_size], False)
                 for i in range(0, len(members), self.batch_size)
             )
         if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [b for b in batches if len(b[0]) == self.batch_size]
+        if self.num_shards > 1:
+            target = max(
+                self._shard_batch_count(s) for s in range(self.num_shards)
+            )
+            if not batches and target > 0 and len(self.dataset):
+                batches = [([0], True)]  # empty shard: all-filler
+            k = 0
+            while batches and len(batches) < target:
+                batches.append((batches[k % len(batches)][0], True))
+                k += 1
         if self.shuffle:
             rng.shuffle(batches)
         return batches
 
     def _collate(
-        self, samples: Sequence[Dict[str, np.ndarray]]
+        self, samples: Sequence[Dict[str, np.ndarray]], is_filler: bool = False
     ) -> Dict[str, np.ndarray]:
         # Batches are orientation-homogeneous (see _batched_indices), so this
         # pad-to-batch-max is a no-op for grouped data; it only letterboxes
@@ -212,7 +243,8 @@ class DetectionLoader:
             return arr
 
         batch_mask = np.zeros(n_total, bool)
-        batch_mask[:n_real] = True
+        if not is_filler:  # cross-shard filler batches count for nothing
+            batch_mask[:n_real] = True
         return {
             "images": images,
             "image_sizes": stack_padded("image_size"),
@@ -252,13 +284,13 @@ class DetectionLoader:
 
         def producer() -> None:
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idxs in batches:
+                for batch_idxs, is_filler in batches:
                     if stop.is_set():
                         return
                     samples = list(
                         pool.map(lambda i: self._load_sample(i, epoch), batch_idxs)
                     )
-                    if not put_or_stop(self._collate(samples)):
+                    if not put_or_stop(self._collate(samples, is_filler=is_filler)):
                         return
             put_or_stop(None)
 

@@ -25,6 +25,7 @@ calls, user code), a module-level generator reseeded by
 
 from __future__ import annotations
 
+import functools
 import inspect
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -50,10 +51,21 @@ _ACCEPTS_RNG_CACHE: Dict[type, bool] = {}
 
 
 def accepts_rng(t: Any) -> bool:
-    """Whether a transform callable takes an ``rng`` keyword (cached by type).
+    """Whether a transform callable takes an ``rng`` keyword.
 
     Keeps third-party/user transforms with the bare 3-arg signature working.
+    Class instances are cached by type; plain functions/partials/lambdas are
+    inspected directly each call (``signature(t.__call__)`` on a function
+    would see the method-wrapper and miss its parameters, and one cache
+    entry for all of them would be wrong anyway).
     """
+    if inspect.isfunction(t) or inspect.isbuiltin(t) or isinstance(
+        t, functools.partial
+    ):
+        try:
+            return "rng" in inspect.signature(t).parameters
+        except (TypeError, ValueError):
+            return False
     key = type(t)
     hit = _ACCEPTS_RNG_CACHE.get(key)
     if hit is None:

@@ -41,7 +41,7 @@ from ..ops import (
     retinanet_loss,
     retinanet_loss_levels,
 )
-from ..parallel import MeshPlan, make_mesh
+from ..parallel import MeshPlan, local_rows, make_mesh
 from ..utils.metrics import MetricLogger, ProfilerHook, device_memory_stats
 from .callbacks import Callback, ModelCheckpoint
 from .model import RetinaNetModel
@@ -564,7 +564,10 @@ class Trainer:
         for batch in loader:
             batch = self._pad_batch_rows(batch)
             db = self._device_batch(batch)
-            losses = jax.device_get(
+            # local_rows: multi-host, step outputs are GLOBAL (local x hosts)
+            # data-sharded arrays — extract this process's rows so they line
+            # up with the local batch_mask.
+            losses = local_rows(
                 eval_step(self.state, db["images"], db["boxes"], db["labels"], db["valid"])
             )
             mask = batch["batch_mask"]
@@ -610,7 +613,7 @@ class Trainer:
             db = self.mesh.shard_batch(
                 {"images": batch["images"], "image_sizes": batch["image_sizes"]}
             )
-            det = jax.device_get(
+            det = local_rows(
                 predict_step(self.state, db["images"], db["image_sizes"])
             )
             predictions = {}
@@ -654,7 +657,7 @@ class Trainer:
             db = self.mesh.shard_batch(
                 {"images": batch["images"], "image_sizes": batch["image_sizes"]}
             )
-            det = jax.device_get(
+            det = local_rows(
                 predict_step(self.state, db["images"], db["image_sizes"])
             )
             for i, image_id in enumerate(batch["image_ids"]):

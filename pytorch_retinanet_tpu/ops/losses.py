@@ -228,6 +228,10 @@ def _loss_sums(
         gt_cat,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        # HIGHEST: the default TPU matmul precision truncates f32 operands to
+        # bf16, which would quantize GT coordinates (spacing 8 in [1024, 2048))
+        # and corrupt the regression targets. N=100 — full precision is free.
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, A, 5]
     matched_boxes = gathered[..., :4]
     # exact: one-hot selection of integers <= num_classes in f32

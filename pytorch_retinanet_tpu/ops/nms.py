@@ -208,15 +208,18 @@ def process_detections_multilevel(
     top-k. This avoids materializing the [A_total, C] score matrix (~17M f32
     at 800px x 90 classes) that dominated the single-tensor path's HBM traffic.
 
-    Candidate selection is TWO-stage per level, and the staging is exact, not
-    a heuristic: (1) reduce [A_l, C] logits to a per-anchor class-max [A_l]
-    (one streaming pass over the logits on the VPU) and top-k the ANCHORS;
-    (2) gather the selected anchors' full class rows [k, C] and top-k the
-    (anchor, class) pairs. Any pair in the true top-k over [A_l*C] has ≥ its
-    own score as its anchor's class-max, so its anchor ranks above the k-th
-    anchor cut — stage 1 can never drop a true top-k pair. Measured on v5e at
-    800px bs16: 46 ms → 4 ms for the selection (the pair-space top-k was 43%
-    of END-TO-END inference).
+    Candidate selection is TWO-stage per level: (1) reduce [A_l, C] logits
+    to a per-anchor class-max [A_l] (one streaming pass over the logits on
+    the VPU) and top-k the ANCHORS; (2) gather the selected anchors' full
+    class rows [k, C] and top-k the (anchor, class) pairs. Any pair STRICTLY
+    above the k-th score survives stage 1 (its anchor's class-max ≥ its own
+    score, so the anchor ranks above the cut); candidates that TIE exactly
+    at the rank-k boundary may resolve differently than a flat [A_l*C]
+    top-k would (top_k breaks ties by index, and the bf16 class-max makes
+    boundary ties more likely) — at most swapping equal-score candidates at
+    the selection margin, far below the final top-`max_detections`.
+    Measured on v5e at 800px bs16: 46 ms → 4 ms for the selection (the
+    pair-space top-k was 43% of END-TO-END inference).
 
     ``approx_top_k`` uses ``jax.lax.approx_max_k`` (TPU-native bucketed top-k,
     ~recall 0.95 at the margin) for BOTH the stage-1 anchor selection and the

@@ -109,6 +109,29 @@ def make_mesh(
     return MeshPlan(Mesh(devs.reshape(-1), (axis_name,)))
 
 
+def local_rows(tree: Any) -> Any:
+    """THIS process's rows of data-sharded global outputs (numpy).
+
+    ``MeshPlan.shard_batch`` assembles per-host batches into a global array
+    (global batch = local x hosts); step outputs inherit that sharding, so a
+    multi-host process can neither ``device_get`` the full array (not fully
+    addressable) nor index it with local-batch row numbers. This inverse
+    gathers the process's addressable shards in global-row order — exactly
+    the local batch rows it contributed, in their original order.
+    Single-process it is just ``device_get``.
+    """
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+    def one(arr):
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather arbitrary python objects from every process (reference
     all_gather, detection_utils.py:77-119 — pickle over NCCL). Single-process

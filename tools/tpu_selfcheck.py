@@ -123,6 +123,29 @@ def main() -> None:
             results["ok"] = False
     results["fused_stem_compiled"] = stem_cases
 
+    # Loss matched-GT lookup: the one-hot matmul must be EXACT on-chip for
+    # realistic (>1024) coordinates — the default TPU matmul precision
+    # truncates f32 operands to bf16, which quantizes box coords (the loss
+    # passes Precision.HIGHEST; this guards against regressions).
+    r = np.random.default_rng(9)
+    gt = jnp.asarray(r.uniform(0.0, 1333.0, (2, 50, 4)).astype(np.float32))
+    lab = jnp.asarray(r.integers(1, 91, (2, 50)), jnp.int32)
+    idx = jnp.asarray(r.integers(0, 50, (2, 4096)), jnp.int32)
+    onehot = (idx[..., None] == jnp.arange(50)).astype(jnp.float32)
+    cat = jnp.concatenate([gt, lab.astype(jnp.float32)[..., None]], -1)
+    got = np.asarray(jax.lax.dot_general(
+        onehot, cat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ))
+    ref = np.take_along_axis(
+        np.asarray(cat), np.asarray(idx)[..., None], axis=1
+    )
+    lookup_exact = bool(np.array_equal(got, ref))
+    results["loss_lookup_exact"] = lookup_exact
+    if not lookup_exact:
+        results["ok"] = False
+
     out = os.path.join(os.path.dirname(__file__), "..", "TPU_SELFCHECK.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
