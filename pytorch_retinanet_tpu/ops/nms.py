@@ -246,7 +246,10 @@ def process_detections_multilevel(
         # pairs an approximate selection can miss sit at the rank-1000
         # margin, far below any final top-100 detection (measured 0.0000 AP
         # delta — PARITY_REPORT.md).
-        rows = cls_l[a_idx].astype(jnp.float32)  # [k, C]
+        # top-k indices are distinct — the hint picks a faster gather path
+        rows = jnp.take(cls_l, a_idx, axis=0, unique_indices=True).astype(
+            jnp.float32
+        )  # [k, C]
         flat = rows.reshape(-1)
         k_l = min(pre_nms_top_k, flat.shape[0])
         if approx_top_k and flat.shape[0] > 4 * k_l:
