@@ -2,10 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no benchmark numbers (BASELINE.md); the north-star in
-BASELINE.json is ResNet-50+FPN 800px inference images/sec/chip > 2x a
-torchvision A100 baseline. A well-tuned torchvision RetinaNet-R50 at 800px on
-an A100 runs ~25-30 img/s end-to-end; we report vs_baseline against 27 img/s.
+The reference publishes no benchmark numbers (BASELINE.md), so there is no
+citable external constant to divide by. ``vs_baseline`` is therefore the
+baseline-FREE honest ratio: achieved end-to-end throughput over this chip's
+speed-of-light throughput (analytic conv FLOPs at peak bf16 — i.e. the MFU,
+utils/flops.py). 1.0 would be a perfectly compute-bound pipeline with zero
+overhead; the per-stage breakdown behind the number is docs/ROOFLINE.md.
 """
 
 from __future__ import annotations
@@ -22,7 +24,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_IMG_PER_SEC = 27.0  # torchvision RetinaNet-R50 800px, A100 (external est.)
 
 
 def main() -> None:
@@ -75,13 +76,22 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * n_iters / dt
+
+    from pytorch_retinanet_tpu.utils.flops import detector_flops, peak_bf16_tflops
+
+    peak = peak_bf16_tflops()
+    sol_img_per_sec = peak * 1e12 / detector_flops(*image_size)  # speed of light
     print(
         json.dumps(
             {
                 "metric": "retinanet_r50_fpn_800px_infer",
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+                # Fraction of this chip's speed-of-light throughput (MFU):
+                # measured img/s over analytic-conv-FLOPs-at-peak-bf16 img/s.
+                "vs_baseline": round(img_per_sec / sol_img_per_sec, 3),
+                "baseline": f"chip speed-of-light {sol_img_per_sec:.1f} img/s "
+                f"({peak:.0f} bf16 TFLOP/s peak)",
             }
         )
     )

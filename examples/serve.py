@@ -35,8 +35,12 @@ def main() -> None:
 
     infer = load_exported(artifact)
     (batch, bh, bw, _), _ = (a.shape for a in infer.in_avals)
-    # The bucket's min/max sizes recover from its padded shape.
-    min_size, max_size = min(bh, bw), max(bh, bw)
+    if infer.meta is not None:
+        # The sidecar records the TRUE resize rule (e.g. 800/1333); the padded
+        # bucket dims are ceil32'd and would distort it (800/1344).
+        min_size, max_size = infer.meta["min_size"], infer.meta["max_size"]
+    else:  # legacy artifact without sidecar: best effort from padded dims
+        min_size, max_size = min(bh, bw), max(bh, bw)
 
     for start in range(0, len(paths), batch):
         chunk = paths[start : start + batch]

@@ -59,8 +59,12 @@ def accepts_rng(t: Any) -> bool:
     would see the method-wrapper and miss its parameters, and one cache
     entry for all of them would be wrong anyway).
     """
-    if inspect.isfunction(t) or inspect.isbuiltin(t) or isinstance(
-        t, functools.partial
+    if (
+        inspect.isfunction(t)
+        or inspect.isbuiltin(t)
+        or inspect.ismethod(t)  # bound methods all share type MethodType —
+        # caching by type would let the first method inspected decide for all
+        or isinstance(t, functools.partial)
     ):
         try:
             return "rng" in inspect.signature(t).parameters

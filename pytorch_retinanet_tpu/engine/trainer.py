@@ -148,6 +148,28 @@ class Trainer:
                 v["batch_stats"] = state.batch_stats
             return v
 
+        def forward_levels(variables, images):
+            """Frozen-BN forward with the fused Pallas stem when applicable.
+
+            freeze_bn (the default) keeps the stem's inference semantics in
+            training too (running BN statistics are part of the traced
+            graph), so the fused kernel is exact here as well; its custom
+            VJP (kernels/stem_pallas.py:271-290) recomputes the backward
+            through the equivalent XLA composition, so stem conv/BN params
+            still train. Gated off on multi-device meshes / CPU
+            (models.retinanet.fused_stem_applicable)."""
+            from ..kernels import fused_stem
+            from ..models.retinanet import fused_stem_applicable
+
+            if fused_stem_applicable(module, images.shape):
+                stem = fused_stem(
+                    variables, images, mean=module.mean, std=module.std
+                )
+                return module.apply(
+                    variables, images, False, return_levels=True, stem_in=stem
+                )
+            return module.apply(variables, images, False, return_levels=True)
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, boxes, labels, valid):
             # Per-level head outputs + per-level loss: skips the cross-level
@@ -169,9 +191,7 @@ class Trainer:
                     )
                     new_stats = mut["batch_stats"]
                 else:
-                    cls_levels, box_levels = module.apply(
-                        variables, images, False, return_levels=True
-                    )
+                    cls_levels, box_levels = forward_levels(variables, images)
                     new_stats = state.batch_stats
                 losses = retinanet_loss_levels(
                     cls_levels, box_levels, anchors_levels, boxes, labels, valid,
@@ -206,9 +226,7 @@ class Trainer:
                 jnp.asarray(a)
                 for a in generate_anchors_per_level(tuple(images.shape[1:3]))
             ]
-            cls_levels, box_levels = module.apply(
-                variables_of(state), images, False, return_levels=True
-            )
+            cls_levels, box_levels = forward_levels(variables_of(state), images)
             # Per-image losses so the host can mask padded batch rows.
             losses = retinanet_loss_levels(
                 cls_levels, box_levels, anchors_levels, boxes, labels, valid,
@@ -638,7 +656,7 @@ class Trainer:
         evaluator.synchronize_between_processes(all_gather_objects)
         evaluator.accumulate()
         stats = evaluator.summarize()
-        results = {"AP": float(stats[0])}
+        results = {"AP": float(stats["bbox"][0])}
         logger.info("test results: %s", results)
         return [results]
 

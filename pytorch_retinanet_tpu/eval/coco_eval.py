@@ -541,10 +541,14 @@ class CocoEvaluator:
 
     def synchronize_between_processes(self, all_gather_fn=None) -> None:
         """Merge result shards across data-parallel eval hosts (reference
-        coco_eval.py:44-49/164-183 used pickle-over-NCCL; here the caller
-        passes a gather function, e.g. :func:`..parallel.all_gather_objects`)."""
+        coco_eval.py:44-49/164-183 used pickle-over-NCCL).
+
+        Defaults to :func:`..parallel.all_gather_objects`, which is the
+        identity single-process — so forgetting to pass a gather fn can never
+        silently evaluate one shard (the reference's version was similarly
+        safe-by-default via its world_size==1 early-return)."""
         if all_gather_fn is None:
-            return
+            from ..parallel import all_gather_objects as all_gather_fn
         merged_ids = all_gather_fn(self.img_ids)
         self.img_ids = [i for shard in merged_ids for i in shard]
         for t in self.iou_types:
@@ -561,10 +565,14 @@ class CocoEvaluator:
             e.accumulate()
             self.coco_eval[t] = e
 
-    def summarize(self, verbose: bool = True) -> np.ndarray:
-        """Summarize every iou_type; returns the FIRST type's stats (the
-        trainer reads stats[0] = bbox AP like reference model.py:140-146)."""
+    def summarize(self, verbose: bool = True) -> Dict[str, np.ndarray]:
+        """Summarize every iou_type → ``{iou_type: stats array}``.
+
+        The headline metric is ``summarize()["bbox"][0]`` (AP@[.5:.95]),
+        exactly what the reference reads as ``coco_eval["bbox"].stats[0]``
+        (reference model.py:140-146). Returning the full per-type dict means
+        segm/keypoint stats are never silently dropped when multiple
+        iou_types are evaluated."""
         if not self.coco_eval:
             self.accumulate()
-        out = [self.coco_eval[t].summarize(verbose) for t in self.iou_types]
-        return out[0]
+        return {t: self.coco_eval[t].summarize(verbose) for t in self.iou_types}

@@ -89,11 +89,29 @@ def save_exported(
     bucket: Optional[Tuple[int, int]] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> str:
-    """``export_inference`` to a file; returns the path."""
+    """``export_inference`` to a file; returns the path.
+
+    Also writes a ``<path>.json`` sidecar recording the TRUE resize rule
+    (min/max sizes) and model facts — the padded bucket dims are ceil32'd so
+    they cannot recover e.g. an 800/1333 resize rule (it would serve as
+    800/1344, a slightly different input distribution for long images)."""
+    import json
+
     blob = export_inference(net, batch_size, bucket, platforms)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
+    meta = {
+        "min_size": int(net.min_size),
+        "max_size": int(net.max_size),
+        "batch_size": int(batch_size),
+        "num_classes": int(net.num_classes),
+        "backbone": net.backbone_kind,
+        "score_thres": float(net.score_thres),
+        "nms_thres": float(net.nms_thres),
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
     return path
 
 
@@ -103,9 +121,16 @@ def load_exported(blob_or_path: Union[bytes, str]):
     Returns a callable ``infer(images, image_sizes) -> {"boxes", "scores",
     "labels", "valid"}`` running the deserialized compiled program.
     """
+    meta = None
     if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as f:
             blob = f.read()
+        sidecar = str(blob_or_path) + ".json"
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as f:
+                meta = json.load(f)
     else:
         blob = bytes(blob_or_path)
     exported = jax.export.deserialize(blob)
@@ -123,4 +148,5 @@ def load_exported(blob_or_path: Union[bytes, str]):
 
     infer.in_avals = exported.in_avals
     infer.platforms = exported.platforms
+    infer.meta = meta  # sidecar metadata (true resize rule), None if absent
     return infer

@@ -104,10 +104,167 @@ def torch_resnet_to_flax(
     return params, stats
 
 
+# --------------------------------------------------------------------------- #
+# Full-detector conversion (reference-trained checkpoints)
+# --------------------------------------------------------------------------- #
+# The reference's documented save/reload flow is the FULL detector state_dict:
+# ``torch.save(litModel.net.state_dict(), PATH)`` then
+# ``Retinanet(**args).load_state_dict(torch.load(PATH))`` (demo.ipynb cells
+# 23/25; reference retinanet/models.py:21). Key schema per reference modules:
+#   backbone.backbone.*          ResNet trunk (backbone.py:139-263, wrapped by
+#                                BackBone at backbone.py:340-360)
+#   fpn.conv_c{3,4,5}_{1x1,3x3}, fpn.conv_c6_3x3, fpn.conv_c7_3x3
+#                                (layers.py:12-64)
+#   retinanet_head.classification_head.class_subnet.{0,2,4,6} + _output
+#   retinanet_head.regression_head.box_subnet.{0,2,4,6} + _output
+#                                (layers.py:67-260)
+#   anchor_generator.*           BufferList constants — regenerated here, ignored
+# Channel-layout note: the reference reshapes predictor outputs
+# [N, A*K, H, W] -> view(N, A, K, H, W) -> permute to [N, H, W, A, K]
+# (layers.py:189-195), i.e. channel index = a*K + k; the flax head reshapes
+# NHWC [N, H, W, A*K] the same way, so predictor output channels map 1:1 and a
+# plain OIHW->HWIO transpose is the whole conversion.
+
+_FPN_KEYMAP = {
+    "conv_c3_1x1": "lateral_c3",
+    "conv_c4_1x1": "lateral_c4",
+    "conv_c5_1x1": "lateral_c5",
+    "conv_c3_3x3": "smooth_p3",
+    "conv_c4_3x3": "smooth_p4",
+    "conv_c5_3x3": "smooth_p5",
+    "conv_c6_3x3": "p6",
+    "conv_c7_3x3": "p7",
+}
+
+# Keys legitimately present in a reference checkpoint that carry no learned
+# state for this model: anchor constants (regenerated from static shapes) and
+# the ImageNet classifier head if the backbone ckpt was saved un-trimmed.
+_IGNORABLE_PREFIXES = ("anchor_generator.", "backbone.backbone.fc.", "fc.")
+
+
+def torch_retinanet_to_flax(
+    state_dict: Mapping[str, Any], kind: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a FULL reference-schema detector ``state_dict`` into this
+    package's (params, batch_stats) trees: ``{"backbone", "fpn", "head"}``
+    params and ``{"backbone"}`` batch stats, shaped for
+    :class:`..models.retinanet.RetinaNetModule`."""
+    sd = {k: _to_numpy(v) for k, v in state_dict.items() if not k.endswith("num_batches_tracked")}
+    consumed = set()
+
+    def take(key: str) -> np.ndarray:
+        if key not in sd:
+            raise KeyError(
+                f"reference checkpoint is missing key {key!r} — not a full "
+                "detector state_dict? (expected the schema of "
+                "`torch.save(litModel.net.state_dict())`)"
+            )
+        consumed.add(key)
+        return sd[key]
+
+    def conv(prefix: str) -> Dict[str, np.ndarray]:
+        return {
+            "kernel": take(f"{prefix}.weight").transpose(2, 3, 1, 0),
+            "bias": take(f"{prefix}.bias"),
+        }
+
+    # Backbone: strip the BackBone-wrapper prefix and reuse the ResNet mapper.
+    bb_prefix = "backbone.backbone."
+    bb_sd = {k[len(bb_prefix):]: v for k, v in sd.items() if k.startswith(bb_prefix)}
+    if not bb_sd:
+        raise KeyError(
+            "no 'backbone.backbone.*' keys found — full-detector checkpoints "
+            "prefix ResNet weights with the BackBone wrapper (reference "
+            "backbone.py:340-360)"
+        )
+    bb_params, bb_stats = torch_resnet_to_flax(bb_sd, kind)
+    consumed.update(
+        bb_prefix + k for k in bb_sd if not k.startswith("fc.")
+    )
+
+    fpn_params = {ours: conv(f"fpn.{theirs}") for theirs, ours in _FPN_KEYMAP.items()}
+
+    head_params: Dict[str, Any] = {}
+    for ours, theirs, out_name in (
+        ("cls_subnet", "classification_head.class_subnet", "class_subnet_output"),
+        ("box_subnet", "regression_head.box_subnet", "box_subnet_output"),
+    ):
+        sub: Dict[str, Any] = {}
+        for i, ti in enumerate((0, 2, 4, 6)):  # Sequential conv indices (ReLUs odd)
+            sub[f"conv{i}"] = conv(f"retinanet_head.{theirs}.{ti}")
+        sub["predictor"] = conv(f"retinanet_head.{theirs.split('.')[0]}.{out_name}")
+        head_params[ours] = sub
+
+    leftover = [
+        k
+        for k in sd
+        if k not in consumed and not k.startswith(_IGNORABLE_PREFIXES)
+    ]
+    if leftover:
+        raise KeyError(
+            f"unrecognized keys in reference checkpoint (first 10): "
+            f"{sorted(leftover)[:10]} — schema mismatch, refusing to load "
+            "partially"
+        )
+
+    params = {"backbone": bb_params, "fpn": fpn_params, "head": head_params}
+    stats = {"backbone": bb_stats}
+    return params, stats
+
+
+def _merge_checked(dst: Dict[str, Any], src: Dict[str, Any], path: str = "") -> Dict[str, Any]:
+    """Overwrite dst leaves with src values; shape-checked, f32-normalized."""
+    for k, v in src.items():
+        sub = f"{path}/{k}" if path else k
+        if isinstance(v, dict):
+            dst[k] = _merge_checked(dict(dst.get(k, {})), v, sub)
+        else:
+            old = dst.get(k)
+            if old is not None and tuple(old.shape) != tuple(v.shape):
+                raise ValueError(
+                    f"shape mismatch for {sub}: checkpoint {v.shape} vs model {old.shape}"
+                )
+            dst[k] = np.asarray(v, dtype=np.float32)
+    return dst
+
+
+def load_torch_retinanet(
+    variables: Mapping, state_dict_or_path: Any, kind: str
+) -> Dict[str, Any]:
+    """Return a copy of `variables` with ALL detector weights replaced by a
+    reference-schema full-detector checkpoint (path to a ``.pth`` or an
+    in-memory state_dict). Closes the reference's documented reload flow
+    (demo cells 23/25; models.py:21 + ``load_state_dict``)."""
+    if isinstance(state_dict_or_path, (str, bytes)) or hasattr(state_dict_or_path, "__fspath__"):
+        import torch
+
+        state_dict = torch.load(state_dict_or_path, map_location="cpu", weights_only=True)
+        if isinstance(state_dict, dict) and "state_dict" in state_dict:
+            state_dict = state_dict["state_dict"]
+    else:
+        state_dict = state_dict_or_path
+    new_params, new_stats = torch_retinanet_to_flax(state_dict, kind)
+
+    target_stem = (
+        variables.get("params", {}).get("backbone", {}).get("stem_conv", {}).get("kernel")
+    )
+    if target_stem is not None and tuple(target_stem.shape[:2]) == (4, 4):
+        from .layers import stem_kernel_to_s2d
+
+        new_params["backbone"]["stem_conv"]["kernel"] = stem_kernel_to_s2d(
+            new_params["backbone"]["stem_conv"]["kernel"]
+        )
+
+    out = {k: dict(v) for k, v in variables.items()}
+    out["params"] = _merge_checked(dict(out.get("params", {})), new_params)
+    if "batch_stats" in out:
+        out["batch_stats"] = _merge_checked(dict(out["batch_stats"]), new_stats)
+    return out
+
+
 def load_torch_resnet(variables: Mapping, path: str, kind: str) -> Dict[str, Any]:
     """Return a copy of `variables` with the backbone subtree replaced by the
     converted torch checkpoint at `path` (a torchvision ResNet ``.pth``)."""
-    import jax
     import torch
 
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
@@ -127,30 +284,12 @@ def load_torch_resnet(variables: Mapping, path: str, kind: str) -> Dict[str, Any
             new_params["stem_conv"]["kernel"]
         )
 
-    variables = jax.tree_util.tree_map(lambda x: x, dict(variables))  # shallow copy
     out = {k: dict(v) for k, v in variables.items()}
-
-    def merge(dst: Dict[str, Any], src: Dict[str, Any]) -> Dict[str, Any]:
-        """Overwrite dst leaves with src values, preserving dtypes/shape checks."""
-        for k, v in src.items():
-            if isinstance(v, dict):
-                dst[k] = merge(dict(dst.get(k, {})), v)
-            else:
-                old = dst.get(k)
-                if old is not None and tuple(old.shape) != tuple(v.shape):
-                    raise ValueError(
-                        f"shape mismatch for {k}: checkpoint {v.shape} vs model {old.shape}"
-                    )
-                dst[k] = np.asarray(v, dtype=np.float32)
-        return dst
-
-    out["params"] = dict(out["params"])
-    out["params"]["backbone"] = merge(
+    out["params"]["backbone"] = _merge_checked(
         {k: v for k, v in out["params"].get("backbone", {}).items()}, new_params
     )
     if "batch_stats" in out:
-        out["batch_stats"] = dict(out["batch_stats"])
-        out["batch_stats"]["backbone"] = merge(
+        out["batch_stats"]["backbone"] = _merge_checked(
             {k: v for k, v in out["batch_stats"].get("backbone", {}).items()}, new_stats
         )
     return out

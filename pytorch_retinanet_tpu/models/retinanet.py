@@ -115,6 +115,28 @@ class RetinaNetModule(nn.Module):
         )(pyramid, return_levels)
 
 
+def fused_stem_applicable(module: RetinaNetModule, image_shape) -> bool:
+    """Default gate for the fused Pallas stem (kernels/stem_pallas.py).
+
+    True only on a single-device TPU context with the standard bf16 stem and
+    a supported image shape. pallas_call has no SPMD partitioning rule: on a
+    >1-device mesh the kernel would be replicated (full-batch gather +
+    redundant compute per device) or fail to partition — multi-device callers
+    that shard_map the kernel over the data axis themselves can still opt in
+    explicitly."""
+    import jax as _jax
+
+    from ..kernels import fused_stem_supported, tpu_available
+
+    return (
+        tpu_available()
+        and _jax.device_count() == 1
+        and not module.stem_s2d
+        and module.dtype == jnp.bfloat16
+        and fused_stem_supported(image_shape)
+    )
+
+
 def apply_detector(
     module: RetinaNetModule,
     variables,
@@ -131,15 +153,10 @@ def apply_detector(
     the single entry every inference call site (predict, eval-predict, bench,
     profilers) should use; training keeps the standard module path.
     """
-    from ..kernels import fused_stem, fused_stem_supported, tpu_available
+    from ..kernels import fused_stem
 
     if use_fused_stem is None:
-        use_fused_stem = (
-            tpu_available()
-            and not module.stem_s2d
-            and module.dtype == jnp.bfloat16
-            and fused_stem_supported(images.shape)
-        )
+        use_fused_stem = fused_stem_applicable(module, images.shape)
     if use_fused_stem:
         stem = fused_stem(variables, images, mean=module.mean, std=module.std)
         return module.apply(variables, images, False, return_levels, stem_in=stem)
@@ -415,9 +432,29 @@ class Retinanet:
 
         self.variables = load_torch_resnet(self.variables, path, self.backbone_kind)
 
+    def load_torch_state_dict(self, state_dict_or_path) -> None:
+        """Load a FULL reference-trained detector checkpoint (the schema of
+        ``torch.save(litModel.net.state_dict())``, reference demo cells 23/25)
+        — backbone + FPN + head, shape-checked (models/converter.py)."""
+        from .converter import load_torch_retinanet
+
+        self.variables = load_torch_retinanet(
+            self.variables, state_dict_or_path, self.backbone_kind
+        )
+
     def state_dict(self):
         """The full variable pytree (params + batch stats)."""
         return self.variables
 
     def load_state_dict(self, variables) -> None:
-        self.variables = variables
+        """Replace model weights. Accepts either this framework's variable
+        pytree, or a reference-schema flat torch ``state_dict`` (keys like
+        ``backbone.backbone.conv1.weight``) which is converted on the fly —
+        mirroring the reference's ``Retinanet(...).load_state_dict(torch.load(p))``
+        reload flow (reference models.py:21 + demo cell 25)."""
+        if isinstance(variables, dict) and variables and all(
+            isinstance(k, str) and "." in k for k in variables
+        ):
+            self.load_torch_state_dict(variables)
+        else:
+            self.variables = variables

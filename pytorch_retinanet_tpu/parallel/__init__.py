@@ -122,14 +122,23 @@ def local_rows(tree: Any) -> Any:
     """
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    return jax.tree_util.tree_map(_local_rows_leaf, tree)
 
-    def one(arr):
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
-    return jax.tree_util.tree_map(one, tree)
+def _local_rows_leaf(arr) -> np.ndarray:
+    """One leaf of :func:`local_rows`: this process's rows in global order.
+
+    Batch-sharded leaves concatenate addressable shards by leading-axis
+    offset; scalars and replicated leaves (every shard holds the same full
+    value) return a single copy instead of duplicating per local device."""
+    shards = list(getattr(arr, "addressable_shards", []))
+    if getattr(arr, "ndim", 0) == 0 or len(shards) <= 1:
+        return np.asarray(shards[0].data) if shards else np.asarray(arr)
+    starts = [(s.index[0].start or 0) if s.index else 0 for s in shards]
+    if len(set(starts)) == 1:
+        return np.asarray(shards[0].data)
+    order = sorted(range(len(shards)), key=starts.__getitem__)
+    return np.concatenate([np.asarray(shards[i].data) for i in order], axis=0)
 
 
 def all_gather_objects(obj: Any) -> List[Any]:

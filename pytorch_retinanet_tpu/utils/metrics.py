@@ -13,7 +13,7 @@ from __future__ import annotations
 import datetime
 import logging
 import time
-from collections import defaultdict, deque
+from collections import defaultdict
 from typing import Dict, Iterable, Iterator, Optional
 
 import numpy as np
@@ -22,43 +22,63 @@ logger = logging.getLogger(__name__)
 
 
 class SmoothedValue:
-    """Windowed value tracker (reference SmoothedValue, detection_utils.py:14-74).
+    """Windowed scalar meter: stats over the last `window_size` updates plus
+    lifetime totals (the role of the reference's SmoothedValue,
+    detection_utils.py:14-74, itself from the torchvision references).
 
-    The reference's dist-sync variant pickled tensors over NCCL; under SPMD
-    the metrics coming out of the jitted step are already globally reduced, so
-    no sync pass is needed here.
+    Own design: a fixed numpy ring buffer with a cursor instead of a deque —
+    window statistics are one vectorized call over a buffer slice, and there
+    is no dist-sync machinery (under SPMD the metrics leaving the jitted step
+    are already globally reduced).
     """
 
-    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
-        self.deque: deque = deque(maxlen=window_size)
-        self.total = 0.0
-        self.count = 0
+    __slots__ = ("_ring", "_cursor", "_filled", "_lifetime_sum", "_lifetime_n", "fmt")
+
+    def __init__(
+        self, window_size: int = 20, fmt: str = "{median:.4f} (avg {global_avg:.4f})"
+    ):
+        self._ring = np.zeros(max(1, window_size), np.float64)
+        self._cursor = 0
+        self._filled = 0
+        self._lifetime_sum = 0.0
+        self._lifetime_n = 0
         self.fmt = fmt
 
     def update(self, value: float, n: int = 1) -> None:
-        self.deque.append(value)
-        self.count += n
-        self.total += value * n
+        self._ring[self._cursor] = value
+        self._cursor = (self._cursor + 1) % self._ring.size
+        self._filled = min(self._filled + 1, self._ring.size)
+        self._lifetime_sum += float(value) * n
+        self._lifetime_n += n
+
+    def _window(self) -> np.ndarray:
+        return self._ring[: self._filled]
 
     @property
     def median(self) -> float:
-        return float(np.median(self.deque)) if self.deque else 0.0
+        w = self._window()
+        return float(np.median(w)) if w.size else 0.0
 
     @property
     def avg(self) -> float:
-        return float(np.mean(self.deque)) if self.deque else 0.0
+        w = self._window()
+        return float(w.mean()) if w.size else 0.0
 
     @property
     def global_avg(self) -> float:
-        return self.total / max(self.count, 1)
+        return self._lifetime_sum / max(self._lifetime_n, 1)
 
     @property
     def max(self) -> float:
-        return float(max(self.deque)) if self.deque else 0.0
+        w = self._window()
+        return float(w.max()) if w.size else 0.0
 
     @property
     def value(self) -> float:
-        return float(self.deque[-1]) if self.deque else 0.0
+        """Most recent update (one slot behind the cursor)."""
+        if not self._filled:
+            return 0.0
+        return float(self._ring[(self._cursor - 1) % self._ring.size])
 
     def __str__(self) -> str:
         return self.fmt.format(

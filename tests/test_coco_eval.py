@@ -169,7 +169,7 @@ class TestCocoEvaluator:
             }
         )
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["bbox"]
         assert stats[0] == pytest.approx(1.0)
         assert stats[8] == pytest.approx(1.0)
 
@@ -194,7 +194,7 @@ class TestCocoEvaluator:
         ev_all = CocoEvaluator(gt, ["bbox"])
         ev_all.update(preds)
         ev_all.accumulate()
-        stats_all = ev_all.summarize(verbose=False)
+        stats_all = ev_all.summarize(verbose=False)["bbox"]
 
         # two shards merged through a fake gather
         shard0 = CocoEvaluator(gt, ["bbox"])
@@ -213,9 +213,23 @@ class TestCocoEvaluator:
 
         shard0.synchronize_between_processes(fake_gather)
         shard0.accumulate()
-        stats_merged = shard0.summarize(verbose=False)
+        stats_merged = shard0.summarize(verbose=False)["bbox"]
         np.testing.assert_allclose(stats_merged, stats_all)
         assert 0.0 < stats_merged[0] < 1.0  # nondegenerate (one miss)
+
+    def test_synchronize_defaults_to_identity_single_process(self):
+        """No-arg synchronize_between_processes must be safe: it defaults to
+        parallel.all_gather_objects, the identity in a single process — a
+        caller that forgets the gather fn can never silently drop shards."""
+        gt = make_gt({1: [[10, 10, 50, 50]]})
+        ev = CocoEvaluator(gt, ["bbox"])
+        ev.update({1: {"boxes": np.array([[10.0, 10, 60, 60]]),
+                       "scores": np.array([0.9]), "labels": np.array([1])}})
+        before = list(ev.results["bbox"])
+        ev.synchronize_between_processes()
+        assert ev.results["bbox"] == before and ev.img_ids == [1]
+        ev.accumulate()
+        assert ev.summarize(verbose=False)["bbox"][0] > 0
 
     def test_area_boundary_closed_like_pycocotools(self):
         """GT with area exactly 32^2 must count as BOTH 'small' and 'medium'
@@ -235,5 +249,5 @@ class TestCocoEvaluator:
         ev = CocoEvaluator(gt, ["bbox"])
         ev.update({1: {"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["bbox"]
         assert stats[0] == pytest.approx(0.0)

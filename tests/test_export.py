@@ -51,3 +51,7 @@ class TestExport:
         out = infer(images, sizes)
         assert set(out) == {"boxes", "scores", "labels", "valid"}
         assert out["boxes"].shape[0] == 1
+        # Sidecar records the TRUE resize rule, not the ceil32'd bucket dims.
+        assert infer.meta is not None
+        assert infer.meta["min_size"] == net.min_size
+        assert infer.meta["max_size"] == net.max_size

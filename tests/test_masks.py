@@ -134,7 +134,7 @@ class TestSegmEval:
                        "scores": np.array([0.9]), "labels": np.array([1]),
                        "masks": gt_mask[None]}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["segm"]
         assert stats[0] == pytest.approx(1.0)
 
     def test_half_overlap_mask_matches_hand_ap(self):
@@ -150,7 +150,7 @@ class TestSegmEval:
                        "scores": np.array([0.9]), "labels": np.array([1]),
                        "masks": half[None]}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["segm"]
         assert stats[0] == pytest.approx(0.1)   # only the 0.50 threshold
         assert stats[1] == pytest.approx(1.0)   # AP@.50
 
@@ -161,9 +161,9 @@ class TestSegmEval:
                        "scores": np.array([0.9]), "labels": np.array([1]),
                        "masks": gt_mask[None]}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)  # returns FIRST type (bbox)
-        assert stats[0] == pytest.approx(1.0)
-        assert ev.coco_eval["segm"].stats[0] == pytest.approx(1.0)
+        stats = ev.summarize(verbose=False)  # per-iou-type dict
+        assert stats["bbox"][0] == pytest.approx(1.0)
+        assert stats["segm"][0] == pytest.approx(1.0)
 
 
 def make_kp_gt(kps, area=3600.0):
@@ -195,7 +195,7 @@ class TestKeypointEval:
                        "scores": np.array([0.9]), "labels": np.array([1]),
                        "keypoints": np.asarray(kps)[None]}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["keypoints"]
         assert len(stats) == 10
         assert stats[0] == pytest.approx(1.0)
 
@@ -209,7 +209,7 @@ class TestKeypointEval:
                        "scores": np.array([0.9]), "labels": np.array([1]),
                        "keypoints": bad[None]}})
         ev.accumulate()
-        stats = ev.summarize(verbose=False)
+        stats = ev.summarize(verbose=False)["keypoints"]
         assert stats[0] == pytest.approx(0.0)
 
     def test_oks_identity_is_1(self):

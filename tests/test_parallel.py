@@ -59,3 +59,33 @@ class TestProcessHelpers:
     def test_reduce_dict(self):
         out = reduce_dict({"a": np.asarray([2.0, 4.0]), "b": 3.0})
         assert out == {"a": 3.0, "b": 3.0}
+
+
+class TestLocalRowsLeaf:
+    """_local_rows_leaf handles every leaf kind, not just batch-sharded ones
+    (it is reachable through the public local_rows on multi-host trees that
+    carry scalar losses or replicated params alongside sharded outputs)."""
+
+    def test_batch_sharded_concat_in_order(self):
+        from pytorch_retinanet_tpu.parallel import _local_rows_leaf
+
+        plan = make_mesh()
+        x = np.arange(16, dtype=np.float32).reshape(8, 2)
+        sharded = jax.device_put(x, plan.data_sharding)
+        np.testing.assert_array_equal(_local_rows_leaf(sharded), x)
+
+    def test_replicated_leaf_single_copy(self):
+        from pytorch_retinanet_tpu.parallel import _local_rows_leaf
+
+        plan = make_mesh()
+        x = np.arange(6, dtype=np.float32)
+        rep = jax.device_put(x, plan.replicated)
+        out = _local_rows_leaf(rep)
+        np.testing.assert_array_equal(out, x)  # one copy, not 8 concatenated
+
+    def test_scalar_leaf(self):
+        from pytorch_retinanet_tpu.parallel import _local_rows_leaf
+
+        plan = make_mesh()
+        s = jax.device_put(np.float32(3.5), plan.replicated)
+        assert float(_local_rows_leaf(s)) == 3.5

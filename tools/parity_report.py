@@ -107,7 +107,7 @@ def eval_pipeline(gt_index, preds) -> float:
     ev = CocoEvaluator(gt_index, ["bbox"])
     ev.update(preds)
     ev.accumulate()
-    return float(ev.summarize(verbose=False)[0])
+    return float(ev.summarize(verbose=False)["bbox"][0])
 
 
 def main() -> None:

@@ -28,56 +28,17 @@ from pytorch_retinanet_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
-# bf16 peak of the bench chip (v5e: 197 TFLOP/s; v4: 275; override by env).
-PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", "197"))
+from pytorch_retinanet_tpu.utils.flops import (  # shared FLOP model
+    conv_flops,
+    fpn_flops,
+    head_flops,
+    peak_bf16_tflops,
+    resnet50_flops,
+)
 
-
-def conv_flops(out_hw, k, cin, cout):
-    """2*MACs for one conv layer at output spatial size out_hw."""
-    return 2 * out_hw[0] * out_hw[1] * k * k * cin * cout
-
-
-def resnet50_flops(h, w):
-    """Analytic conv FLOPs of the R50 trunk (stem + 4 stages) at input h*w."""
-    fl = conv_flops((h // 2, w // 2), 7, 3, 64)  # stem
-    # (blocks, width, in_ch, stride) per stage — R50 depths (3, 4, 6, 3)
-    cfg = [(3, 64, 64, 1), (4, 128, 256, 2), (6, 256, 512, 2), (3, 512, 1024, 2)]
-    sh, sw = h // 4, w // 4
-    for blocks, width, cin, stride in cfg:
-        oh, ow = sh // stride, sw // stride
-        for b in range(blocks):
-            icin = cin if b == 0 else width * 4
-            ih, iw = (sh, sw) if b == 0 else (oh, ow)
-            s = stride if b == 0 else 1
-            fl += conv_flops((ih, iw), 1, icin, width)           # 1x1 reduce
-            fl += conv_flops((oh, ow), 3, width, width)          # 3x3 (stride)
-            fl += conv_flops((oh, ow), 1, width, width * 4)      # 1x1 expand
-            if b == 0:
-                fl += conv_flops((oh, ow), 1, icin, width * 4)   # downsample
-        sh, sw = oh, ow
-    return fl
-
-
-def fpn_flops(h, w, channels=256):
-    fl = 0
-    cs = [(h // 8, w // 8, 512), (h // 16, w // 16, 1024), (h // 32, w // 32, 2048)]
-    for lh, lw, cin in cs:
-        fl += conv_flops((lh, lw), 1, cin, channels)   # lateral
-        fl += conv_flops((lh, lw), 3, channels, channels)  # smooth
-    fl += conv_flops((h // 64, w // 64), 3, 2048, channels)   # P6
-    fl += conv_flops((h // 128, w // 128), 3, channels, channels)  # P7
-    return fl
-
-
-def head_flops(h, w, num_classes=90, anchors=9, channels=256):
-    fl = 0
-    for s in (8, 16, 32, 64, 128):
-        hw = (h // s, w // s)
-        per_subnet = 4 * conv_flops(hw, 3, channels, channels)
-        fl += 2 * per_subnet
-        fl += conv_flops(hw, 3, channels, anchors * num_classes)  # cls pred
-        fl += conv_flops(hw, 3, channels, anchors * 4)            # box pred
-    return fl
+# env override PEAK_TFLOPS honored; CPU/unknown devices fall back to the
+# v5e figure so the table still renders in CI.
+PEAK_TFLOPS = peak_bf16_tflops()
 
 
 def scalarize(fn):

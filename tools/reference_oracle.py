@@ -145,3 +145,128 @@ def process_detections_torch(
     order = torch.argsort(scores, descending=True, stable=True)
     order = order[:max_detections]                          # models.py:240
     return {"boxes": boxes[order], "scores": scores[order], "labels": labels[order]}
+
+
+# --------------------------------------------------------------------------- #
+# Torch FPN + head oracle (whole-model logits parity)
+# --------------------------------------------------------------------------- #
+# Independent torch modules mirroring the reference FPN
+# (`/root/reference/retinanet/layers.py:12-64`) and head (`layers.py:67-260`),
+# with the SAME state_dict key schema as a reference-trained checkpoint —
+# `fpn.conv_c{3,4,5}_{1x1,3x3}`, `fpn.conv_c{6,7}_3x3`,
+# `retinanet_head.{classification,regression}_head.*` — so the full-detector
+# converter (models/converter.py torch_retinanet_to_flax) can be driven through
+# them and the flax model's cls/box logits cross-checked end-to-end against an
+# implementation that shares no code with the framework.
+
+import torch.nn as _nn
+import torch.nn.functional as _F
+
+
+class FPNOracle(_nn.Module):
+    """P3-P7 pyramid from (C3, C4, C5); key schema of reference layers.py:18-32."""
+
+    def __init__(self, c3: int, c4: int, c5: int, out: int = 256):
+        super().__init__()
+        self.conv_c3_1x1 = _nn.Conv2d(c3, out, 1)
+        self.conv_c3_3x3 = _nn.Conv2d(out, out, 3, padding=1)
+        self.conv_c4_1x1 = _nn.Conv2d(c4, out, 1)
+        self.conv_c4_3x3 = _nn.Conv2d(out, out, 3, padding=1)
+        self.conv_c5_1x1 = _nn.Conv2d(c5, out, 1)
+        self.conv_c5_3x3 = _nn.Conv2d(out, out, 3, padding=1)
+        self.conv_c6_3x3 = _nn.Conv2d(c5, out, 3, stride=2, padding=1)
+        self.conv_c7_3x3 = _nn.Conv2d(out, out, 3, stride=2, padding=1)
+
+    def forward(self, c3, c4, c5):
+        m5 = self.conv_c5_1x1(c5)
+        m4 = self.conv_c4_1x1(c4) + _F.interpolate(m5, scale_factor=2, mode="nearest")
+        m3 = self.conv_c3_1x1(c3) + _F.interpolate(m4, scale_factor=2, mode="nearest")
+        p6 = self.conv_c6_3x3(c5)
+        return [
+            self.conv_c3_3x3(m3),
+            self.conv_c4_3x3(m4),
+            self.conv_c5_3x3(m5),
+            p6,
+            self.conv_c7_3x3(_F.relu(p6)),
+        ]
+
+
+class _ClsHeadOracle(_nn.Module):
+    """Key schema of reference RetinaNetClassSubnet (layers.py:118-196)."""
+
+    def __init__(self, channels: int, num_anchors: int, num_classes: int):
+        super().__init__()
+        self.num_classes = num_classes
+        layers = []
+        for _ in range(4):
+            layers += [_nn.Conv2d(channels, channels, 3, padding=1), _nn.ReLU()]
+        self.class_subnet = _nn.Sequential(*layers)
+        self.class_subnet_output = _nn.Conv2d(
+            channels, num_anchors * num_classes, 3, padding=1
+        )
+
+    def forward(self, pyramid):
+        rows = []
+        for feat in pyramid:
+            x = self.class_subnet_output(self.class_subnet(feat))
+            n, _, h, w = x.shape
+            # [N, A*K, H, W] -> [N, H*W*A, K]: channel = a*K + k (layers.py:189-195)
+            x = x.view(n, -1, self.num_classes, h, w).permute(0, 3, 4, 1, 2)
+            rows.append(x.reshape(n, -1, self.num_classes))
+        return torch.cat(rows, dim=1)
+
+
+class _BoxHeadOracle(_nn.Module):
+    """Key schema of reference RetinaNetBoxSubnet (layers.py:199-260)."""
+
+    def __init__(self, channels: int, num_anchors: int):
+        super().__init__()
+        layers = []
+        for _ in range(4):
+            layers += [_nn.Conv2d(channels, channels, 3, padding=1), _nn.ReLU()]
+        self.box_subnet = _nn.Sequential(*layers)
+        self.box_subnet_output = _nn.Conv2d(channels, num_anchors * 4, 3, padding=1)
+
+    def forward(self, pyramid):
+        rows = []
+        for feat in pyramid:
+            x = self.box_subnet_output(self.box_subnet(feat))
+            n, _, h, w = x.shape
+            x = x.view(n, -1, 4, h, w).permute(0, 3, 4, 1, 2)
+            rows.append(x.reshape(n, -1, 4))
+        return torch.cat(rows, dim=1)
+
+
+class HeadOracle(_nn.Module):
+    """Key schema of reference RetinaNetHead (layers.py:67-115)."""
+
+    def __init__(self, channels: int, num_anchors: int, num_classes: int):
+        super().__init__()
+        self.classification_head = _ClsHeadOracle(channels, num_anchors, num_classes)
+        self.regression_head = _BoxHeadOracle(channels, num_anchors)
+
+    def forward(self, pyramid):
+        return self.classification_head(pyramid), self.regression_head(pyramid)
+
+
+class DetectorOracle(_nn.Module):
+    """Full reference-schema detector: backbone.backbone + fpn + retinanet_head.
+
+    `backbone_net` is any torch module returning (C3, C4, C5); it is wrapped so
+    its weights land under `backbone.backbone.*` exactly like the reference's
+    BackBone wrapper (reference backbone.py:340-360, models.py:117).
+    state_dict() of this module IS a reference-trained-checkpoint schema.
+    """
+
+    def __init__(self, backbone_net, fpn_sizes, num_anchors: int, num_classes: int):
+        super().__init__()
+        wrapper = _nn.Module()
+        wrapper.backbone = backbone_net
+        self.backbone = wrapper
+        self.fpn = FPNOracle(*fpn_sizes)
+        self.retinanet_head = HeadOracle(256, num_anchors, num_classes)
+
+    def forward(self, images_nchw):
+        c3, c4, c5 = self.backbone.backbone(images_nchw)
+        pyramid = self.fpn(c3, c4, c5)
+        return self.retinanet_head(pyramid)
