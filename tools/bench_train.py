@@ -1,9 +1,15 @@
 """Training-step throughput benchmark (not the headline bench; see bench.py).
 
-Measures the fully-jitted, donated train step (forward + loss + grad +
-optimizer) for RetinaNet R50-FPN at the 800px bucket.
+Measures the fully-jitted, donated train step for RetinaNet R50-FPN at the
+800px bucket, mirroring the Trainer's REAL step (engine/trainer.py
+_build_steps): per-level head outputs + per-level loss (no cross-level
+concat), fused Pallas stem on the frozen-BN forward, SGD+momentum update.
 
-    python tools/bench_train.py [--batch 8] [--backbone resnet50]
+    python tools/bench_train.py [--batch 8] [--remat] [--no-fused-stem]
+    python tools/bench_train.py --sweep      # batch 8/16/32 x remat on/off
+
+The sweep records every point and the knee into TRAIN_BENCH.json (the train
+analog of bench.py's batch-knee note, VERDICT r2 #3b).
 """
 
 from __future__ import annotations
@@ -27,6 +33,69 @@ from pytorch_retinanet_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
+def build_step(module, stats, optimizer, size, use_fused_stem):
+    from pytorch_retinanet_tpu.kernels import fused_stem
+    from pytorch_retinanet_tpu.ops import (
+        generate_anchors_per_level,
+        retinanet_loss_levels,
+    )
+
+    anchors_levels = [jnp.asarray(a) for a in generate_anchors_per_level(size)]
+
+    def train_step(params, opt_state, images, boxes, labels, valid):
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": stats}
+            if use_fused_stem:
+                stem = fused_stem(variables, images)
+                c, b = module.apply(
+                    variables, images, False, return_levels=True, stem_in=stem
+                )
+            else:
+                c, b = module.apply(variables, images, False, return_levels=True)
+            l = retinanet_loss_levels(
+                c, b, anchors_levels, boxes, labels, valid, num_classes=90
+            )
+            return l["classification_loss"] + l["regression_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def measure(backbone, size, batch, remat, use_fused_stem, iters):
+    from pytorch_retinanet_tpu.engine.optim import build_optimizer
+    from pytorch_retinanet_tpu.models import RetinaNetModule
+
+    module = RetinaNetModule(backbone_kind=backbone, num_classes=90, remat=remat)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)))
+    params, stats = variables["params"], variables["batch_stats"]
+    optimizer = build_optimizer(
+        "torch.optim.SGD", {"lr": 1e-4, "momentum": 0.9, "weight_decay": 1e-4}
+    )
+    opt_state = optimizer.init(params)
+    step = build_step(module, stats, optimizer, size, use_fused_stem)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, *size, 3), np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.array([[[100.0, 100, 400, 400]]], np.float32), (batch, 1, 1))
+    )
+    labels = jnp.ones((batch, 1), jnp.int32)
+    valid = jnp.ones((batch, 1), bool)
+
+    params, opt_state, loss = step(params, opt_state, images, boxes, labels, valid)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, images, boxes, labels, valid)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    del params, opt_state
+    return batch / dt, dt * 1000.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -36,79 +105,71 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument(
-        "--baseline", type=float, default=None,
-        help="external baseline img/s for the vs_baseline field",
-    )
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-fused-stem", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="batch 8/16/32 x remat on/off; records the knee")
     args = ap.parse_args()
 
-    from pytorch_retinanet_tpu.engine.optim import build_optimizer
-    from pytorch_retinanet_tpu.models import RetinaNetModule
-    from pytorch_retinanet_tpu.ops import generate_anchors, retinanet_loss
-
     size = (args.height, args.width)
-    module = RetinaNetModule(backbone_kind=args.backbone, num_classes=90)
-    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)))
-    params, stats = variables["params"], variables["batch_stats"]
-    optimizer = build_optimizer(
-        "torch.optim.SGD", {"lr": 1e-4, "momentum": 0.9, "weight_decay": 1e-4}
-    )
-    opt_state = optimizer.init(params)
-    anchors = jnp.asarray(generate_anchors(size))
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused = on_tpu and not args.no_fused_stem
+    out_path = os.path.join(os.path.dirname(__file__), "..", "TRAIN_BENCH.json")
 
-    @jax.jit
-    def train_step(params, opt_state, images, boxes, labels, valid):
-        def loss_fn(p):
-            c, b = module.apply({"params": p, "batch_stats": stats}, images, False)
-            l = retinanet_loss(c, b, anchors, boxes, labels, valid, num_classes=90)
-            return l["classification_loss"] + l["regression_loss"]
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    train_step = jax.jit(train_step, donate_argnums=(0, 1))
-
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((args.batch, *size, 3), np.float32))
-    boxes = jnp.asarray(
-        np.tile(np.array([[[100.0, 100, 400, 400]]], np.float32), (args.batch, 1, 1))
-    )
-    labels = jnp.ones((args.batch, 1), jnp.int32)
-    valid = jnp.ones((args.batch, 1), bool)
-
-    params, opt_state, loss = train_step(params, opt_state, images, boxes, labels, valid)
-    jax.block_until_ready(loss)
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        params, opt_state, loss = train_step(
-            params, opt_state, images, boxes, labels, valid
-        )
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / args.iters
-
-    img_per_sec = args.batch / dt
-    # Same one-line JSON schema as bench.py so the driver can archive it.
-    line = json.dumps(
-        {
-            "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}",
-            "value": round(img_per_sec, 2),
+    if args.sweep:
+        points = []
+        for remat in (False, True):
+            for batch in (8, 16, 32):
+                try:
+                    img_s, ms = measure(
+                        args.backbone, size, batch, remat, use_fused, args.iters
+                    )
+                except Exception as e:  # OOM at big batches is a data point
+                    print(f"bs{batch} remat={remat}: FAILED ({type(e).__name__})")
+                    points.append({"batch": batch, "remat": remat, "error": str(e)[:200]})
+                    continue
+                print(f"bs{batch} remat={remat}: {img_s:.2f} img/s ({ms:.1f} ms)")
+                points.append({
+                    "batch": batch, "remat": remat,
+                    "img_per_sec": round(img_s, 2), "step_ms": round(ms, 1),
+                })
+        ok = [p for p in points if "img_per_sec" in p]
+        best = max(ok, key=lambda p: p["img_per_sec"])
+        line = json.dumps({
+            "metric": f"train_step_{args.backbone}_{args.height}x{args.width}"
+                      f"_bs{best['batch']}" + ("_remat" if best["remat"] else ""),
+            "value": best["img_per_sec"],
             "unit": "images/sec/chip",
-            "vs_baseline": round(img_per_sec / args.baseline, 2)
-            if args.baseline
-            else None,
-            "step_ms": round(dt * 1000, 1),
+            "vs_baseline": None,
+            "step_ms": best["step_ms"],
             "backend": jax.default_backend(),
-        }
+            "fused_stem": use_fused,
+            "sweep": points,
+        })
+        print(line)
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+        return
+
+    img_s, ms = measure(
+        args.backbone, size, args.batch, args.remat, use_fused, args.iters
     )
+    line = json.dumps({
+        "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}"
+                  + ("_remat" if args.remat else ""),
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "step_ms": round(ms, 1),
+        "backend": jax.default_backend(),
+        "fused_stem": use_fused,
+    })
     print(line)
     # Persist at the default config so the artifact stays in sync with runs.
-    if (args.backbone, args.height, args.width, args.batch) == (
-        "resnet50", 800, 1344, 8,
+    if (args.backbone, args.height, args.width, args.batch, args.remat) == (
+        "resnet50", 800, 1344, 8, False,
     ):
-        out = os.path.join(os.path.dirname(__file__), "..", "TRAIN_BENCH.json")
-        with open(out, "w") as f:
+        with open(out_path, "w") as f:
             f.write(line + "\n")
 
 

@@ -123,6 +123,33 @@ def main() -> None:
             results["ok"] = False
     results["fused_stem_compiled"] = stem_cases
 
+    # Fused stem TRAIN path: grads through the custom VJP (Pallas forward,
+    # XLA-recompute backward — what the Trainer's frozen-BN train step now
+    # uses) must match grads through the plain XLA composition on-chip.
+    r = np.random.default_rng(7)
+    imgs = jnp.asarray(r.normal(0.0, 1.0, (1, 64, 96, 3)).astype(np.float32))
+    w7 = jnp.asarray(r.normal(0, 0.08, (7, 7, 3, 64)).astype(np.float32))
+    sc = jnp.asarray(r.uniform(0.5, 1.5, 64).astype(np.float32))
+    bi = jnp.asarray(r.normal(0, 0.2, 64).astype(np.float32))
+
+    def loss_fused(w, s, b):
+        return jnp.sum(_fused_stem(imgs, w, s, b, False).astype(jnp.float32) ** 2)
+
+    def loss_xla(w, s, b):
+        return jnp.sum(stem_reference_xla(imgs, w, s, b).astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(w7, sc, bi)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(w7, sc, bi)
+    grad_errs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(gf, gx)]
+    # The forward outputs feeding the cotangent differ by kernel-vs-XLA bf16
+    # rounding (~0.02 absolute on these magnitudes), so tolerance, not equality.
+    scale = float(np.abs(np.asarray(gx[0])).max())
+    grads_ok = bool(max(grad_errs) < 0.02 * max(scale, 1.0))
+    results["fused_stem_train_grads"] = {"max_abs_err": grad_errs, "ok": grads_ok}
+    if not grads_ok:
+        results["ok"] = False
+
     # Loss matched-GT lookup: the one-hot matmul must be EXACT on-chip for
     # realistic (>1024) coordinates — the default TPU matmul precision
     # truncates f32 operands to bf16, which quantizes box coords (the loss
