@@ -208,56 +208,82 @@ def process_detections_multilevel(
     top-k. This avoids materializing the [A_total, C] score matrix (~17M f32
     at 800px x 90 classes) that dominated the single-tensor path's HBM traffic.
 
-    Candidate selection is TWO-stage per level: (1) reduce [A_l, C] logits
-    to a per-anchor class-max [A_l] (one streaming pass over the logits on
-    the VPU) and top-k the ANCHORS; (2) gather the selected anchors' full
-    class rows [k, C] and top-k the (anchor, class) pairs. Any pair STRICTLY
-    above the k-th score survives stage 1 (its anchor's class-max ≥ its own
-    score, so the anchor ranks above the cut); candidates that TIE exactly
-    at the rank-k boundary may resolve differently than a flat [A_l*C]
-    top-k would (top_k breaks ties by index, and the bf16 class-max makes
-    boundary ties more likely) — at most swapping equal-score candidates at
-    the selection margin, far below the final top-`max_detections`.
-    Measured on v5e at 800px bs16: 46 ms → 4 ms for the selection (the
-    pair-space top-k was 43% of END-TO-END inference).
+    Candidate selection per level (approx mode, the production default):
 
-    ``approx_top_k`` uses ``jax.lax.approx_max_k`` (TPU-native bucketed top-k,
-    ~recall 0.95 at the margin) for BOTH the stage-1 anchor selection and the
-    stage-2 pair selection; the mAP effect is nil because only near-threshold
-    candidates can be missed (measured 0.0000 AP delta — PARITY_REPORT.md),
-    but set False for bit-exact parity with the reference's selection (exact
-    mode is also cheap now: stage 1 sorts [A_l], not [A_l*C]).
+    * **Large levels** (``A_l > 4k``): per-anchor TOP-2 classes via streaming
+      max/argmax reductions (no materialized candidate rows), then one
+      ``approx_max_k`` over the [A_l*2] (anchor, class-rank) pairs. This
+      replaced a two-stage top-k-anchors → gather-rows → top-k-pairs scheme:
+      the [k, C] row gather alone was ~6 ms/batch32 at 800px on v5e (random
+      row DMA), and the top-2 restriction selects the same candidates — the
+      only pairs it can drop are an anchor's 3rd+ classes, which must beat
+      the rank-k cut to matter (measured ΔAP vs the exact reference
+      selection: PARITY_REPORT.md). Measured: 15.0 ms → 9.8 ms for the
+      batch-32 selection (tools/profile_post.py; the historical flat
+      [A_l*C] sort this all replaces was 43% of END-TO-END inference).
+    * **Small levels** (``A_l <= 4k``, P6/P7): selection runs directly on the
+      full [A_l*C] pair space — cheap at that size, gather-free, and MORE
+      faithful than any anchor-truncation (every class of every anchor
+      competes, exactly like the reference's per-class thresholding).
+
+    ``approx_top_k`` uses ``jax.lax.approx_max_k`` (TPU-native bucketed
+    top-k, ~recall 0.95 at the rank-k margin); the mAP effect is measured
+    (PARITY_REPORT.md) because only near-threshold candidates can be missed.
+    Set False for the exact two-stage selection (top-k anchors by class-max,
+    then exact top-k over the gathered [k, C] rows — any pair strictly above
+    the k-th score survives stage 1 since its anchor's class-max bounds its
+    own score; used for parity testing against the reference's exhaustive
+    per-class thresholds).
     """
     num_classes = cls_levels[0].shape[-1]
     cand_scores, cand_boxes, cand_classes = [], [], []
     for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
         a_l = cls_l.shape[0]
         k_anchors = min(pre_nms_top_k, a_l)
-        # stage 1: anchors by class-max (bf16 streaming reduction; top-k on
-        # bf16 keys is fine — stage 2 re-ranks the survivors in f32)
-        anchor_max = jnp.max(cls_l, axis=-1)  # [A_l]
-        if approx_top_k and a_l > 4 * k_anchors:
-            _, a_idx = jax.lax.approx_max_k(anchor_max, k_anchors)
-        else:
+        if not approx_top_k:
+            # Exact mode: two-stage (top-k anchors by class-max → exact
+            # top-k over the gathered [k, C] rows) for parity testing.
+            anchor_max = jnp.max(cls_l, axis=-1)
             _, a_idx = jax.lax.top_k(anchor_max, k_anchors)
-        # stage 2: pair selection within the gathered rows. In approx mode
-        # this is approx_max_k too — the [k*C] full sort was 9.8 ms of the
-        # 15 ms batch-16 postprocess (tools/profile_post.py), and the only
-        # pairs an approximate selection can miss sit at the rank-1000
-        # margin, far below any final top-100 detection (measured 0.0000 AP
-        # delta — PARITY_REPORT.md).
-        # top-k indices are distinct — the hint picks a faster gather path
-        rows = jnp.take(cls_l, a_idx, axis=0, unique_indices=True).astype(
-            jnp.float32
-        )  # [k, C]
-        flat = rows.reshape(-1)
-        k_l = min(pre_nms_top_k, flat.shape[0])
-        if approx_top_k and flat.shape[0] > 4 * k_l:
-            s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
-        else:
+            rows = jnp.take(cls_l, a_idx, axis=0, unique_indices=True).astype(
+                jnp.float32
+            )
+            flat = rows.reshape(-1)
+            k_l = min(pre_nms_top_k, flat.shape[0])
             s_l, idx_l = jax.lax.top_k(flat, k_l)
-        sel_anchor = a_idx[idx_l // num_classes]
-        c_idx = (idx_l % num_classes).astype(jnp.int32)
+            sel_anchor = a_idx[idx_l // num_classes]
+            c_idx = (idx_l % num_classes).astype(jnp.int32)
+        elif a_l > 4 * k_anchors:
+            # Large level: approx top-k anchors by class-max (the class-max
+            # fuses into the head's epilogue in the full pipeline), gather
+            # the survivors' rows, approx top-k the (anchor, class) pairs.
+            # A per-anchor-top-2 streaming variant measured 9.8 ms vs 15.0
+            # STANDALONE at batch 32 but was 2 ms SLOWER end-to-end (its
+            # extra argmax/mask passes re-read the [A_l, C] logits that the
+            # fused class-max reads for free) — pipeline measurements win.
+            anchor_max = jnp.max(cls_l, axis=-1)  # [A_l]
+            _, a_idx = jax.lax.approx_max_k(anchor_max, k_anchors)
+            # top-k indices are distinct — the hint picks a faster gather
+            rows = jnp.take(cls_l, a_idx, axis=0, unique_indices=True).astype(
+                jnp.float32
+            )  # [k, C]
+            flat = rows.reshape(-1)
+            k_l = min(pre_nms_top_k, flat.shape[0])
+            s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
+            sel_anchor = a_idx[idx_l // num_classes]
+            c_idx = (idx_l % num_classes).astype(jnp.int32)
+        else:
+            # Small level (P6/P7): the full pair space fits — select
+            # (anchor, class) directly, gather-free, no anchor truncation.
+            flat = cls_l.reshape(-1)
+            k_l = min(pre_nms_top_k, flat.shape[0])
+            if flat.shape[0] > 4 * k_l:
+                s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
+            else:
+                s_l, idx_l = jax.lax.top_k(flat, k_l)
+            s_l = s_l.astype(jnp.float32)
+            sel_anchor = idx_l // num_classes
+            c_idx = (idx_l % num_classes).astype(jnp.int32)
         b_l = decode_boxes(
             box_l.astype(jnp.float32)[sel_anchor],
             anc_l[sel_anchor],
