@@ -34,9 +34,11 @@ def _sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
     if weight_decay:
         # torch SGD couples weight decay into the gradient (L2), pre-momentum.
         txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(
-        optax.sgd(lr, momentum=momentum or None, nesterov=nesterov)
-    )
+    # An injected momentum arrives as a jnp scalar whose truthiness is not a
+    # python bool — only collapse LITERAL 0/None to the stateless SGD.
+    if isinstance(momentum, (int, float)) and not momentum:
+        momentum = None
+    txs.append(optax.sgd(lr, momentum=momentum, nesterov=nesterov))
     return optax.chain(*txs)
 
 
@@ -57,7 +59,9 @@ def _adamw(lr: float, betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
 
 def _rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
              momentum: float = 0.0, weight_decay: float = 0.0) -> optax.GradientTransformation:
-    tx = optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum or None)
+    if isinstance(momentum, (int, float)) and not momentum:
+        momentum = None  # injected momentum is a jnp scalar — keep it
+    tx = optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum)
     if weight_decay:
         return optax.chain(optax.add_decayed_weights(weight_decay), tx)
     return tx
@@ -91,6 +95,19 @@ def build_optimizer(
     lr = kwargs.pop("lr", kwargs.pop("learning_rate", 1e-3))
     factory = OPTIMIZER_REGISTRY[class_name]
 
+    momentum = kwargs.get("momentum")
+    if momentum:
+        # Expose momentum as a second injectable hyperparameter so schedulers
+        # that cycle it (torch OneCycleLR with cycle_momentum=True) can write
+        # it between steps exactly like the LR — torch parity for
+        # lr_scheduler momentum cycling (reference demo uses SGD+momentum).
+        kwargs.pop("momentum")
+
+        def make(learning_rate: float, momentum: float) -> optax.GradientTransformation:
+            return factory(learning_rate, momentum=momentum, **kwargs)
+
+        return optax.inject_hyperparams(make)(learning_rate=lr, momentum=momentum)
+
     def make(learning_rate: float) -> optax.GradientTransformation:
         return factory(learning_rate, **kwargs)
 
@@ -111,6 +128,20 @@ def set_learning_rate(opt_state, lr: float):
 
 def current_learning_rate(opt_state) -> float:
     return float(opt_state.hyperparams["learning_rate"])
+
+
+def set_momentum(opt_state, momentum: float):
+    """Write a new momentum into the optimizer state (no-op for optimizers
+    built without an injectable momentum — e.g. momentum=0 SGD, Adam)."""
+    import jax.numpy as jnp
+
+    if "momentum" not in opt_state.hyperparams:
+        return opt_state
+    cur = opt_state.hyperparams["momentum"]
+    opt_state.hyperparams["momentum"] = jnp.asarray(
+        momentum, dtype=getattr(cur, "dtype", jnp.float32)
+    )
+    return opt_state
 
 
 # --------------------------------------------------------------------------- #
@@ -136,6 +167,10 @@ class LRScheduler:
         """LR before the first step (torch applies lr_at(0) at construction —
         schedulers like OneCycleLR start far below the configured max)."""
         return self.base_lr
+
+    def momentum_at(self, t: int) -> Optional[float]:
+        """Momentum override at step t; None for non-cycling schedulers."""
+        return None
 
 
 class ConstantLR(LRScheduler):
@@ -322,8 +357,10 @@ class OneCycleLR(LRScheduler):
     """torch.optim.lr_scheduler.OneCycleLR (cosine strategy): ramp
     max_lr/div_factor → max_lr over pct_start of total_steps, then anneal to
     max_lr/(div_factor*final_div_factor). Step-interval scheduler — configure
-    with ``interval: step``. (torch's momentum cycling is not modeled; the
-    LR schedule matches.)"""
+    with ``interval: step``. Momentum cycles INVERSELY to the LR
+    (max_momentum → base_momentum → max_momentum) when ``cycle_momentum``,
+    exactly like torch; the Trainer writes it into the optimizer's injected
+    momentum hyperparameter each scheduler step."""
 
     def __init__(
         self,
@@ -334,7 +371,10 @@ class OneCycleLR(LRScheduler):
         anneal_strategy: str = "cos",
         div_factor: float = 25.0,
         final_div_factor: float = 1e4,
-        **torch_only,  # cycle_momentum / base_momentum / max_momentum / three_phase
+        cycle_momentum: bool = True,
+        base_momentum: float = 0.85,
+        max_momentum: float = 0.95,
+        **torch_only,  # three_phase
     ):
         super().__init__(base_lr)
         if anneal_strategy not in ("cos", "linear"):
@@ -345,6 +385,9 @@ class OneCycleLR(LRScheduler):
         self.anneal_strategy = anneal_strategy
         self.init_lr = max_lr / div_factor
         self.min_lr = self.init_lr / final_div_factor
+        self.cycle_momentum = cycle_momentum
+        self.base_momentum = base_momentum
+        self.max_momentum = max_momentum
 
     def _anneal(self, start: float, end: float, frac: float) -> float:
         if self.anneal_strategy == "cos":
@@ -361,6 +404,20 @@ class OneCycleLR(LRScheduler):
 
     def initial_lr(self) -> float:
         return self.init_lr
+
+    def momentum_at(self, t: int) -> Optional[float]:
+        """torch OneCycleLR momentum cycling: anneal max→base over the LR's
+        up phase, base→max over the down phase (inverse of the LR)."""
+        if not self.cycle_momentum:
+            return None
+        t = min(t, self.total_steps)
+        up_steps = float(self.pct_start * self.total_steps) - 1
+        if t <= up_steps:
+            return self._anneal(self.max_momentum, self.base_momentum, t / up_steps)
+        down_steps = self.total_steps - up_steps - 1
+        return self._anneal(
+            self.base_momentum, self.max_momentum, (t - up_steps) / down_steps
+        )
 
 
 def warmup_scale(step: int, warmup_steps: int, warmup_factor: float) -> float:

@@ -149,25 +149,16 @@ class Trainer:
             return v
 
         def forward_levels(variables, images):
-            """Frozen-BN forward with the fused Pallas stem when applicable.
+            """Frozen-BN train/eval forward (per-level head outputs).
 
-            freeze_bn (the default) keeps the stem's inference semantics in
-            training too (running BN statistics are part of the traced
-            graph), so the fused kernel is exact here as well; its custom
-            VJP (kernels/stem_pallas.py:271-290) recomputes the backward
-            through the equivalent XLA composition, so stem conv/BN params
-            still train. Gated off on multi-device meshes / CPU
-            (models.retinanet.fused_stem_applicable)."""
-            from ..kernels import fused_stem
-            from ..models.retinanet import fused_stem_applicable
-
-            if fused_stem_applicable(module, images.shape):
-                stem = fused_stem(
-                    variables, images, mean=module.mean, std=module.std
-                )
-                return module.apply(
-                    variables, images, False, return_levels=True, stem_in=stem
-                )
+            Deliberately NOT using the fused Pallas stem here: freeze_bn
+            training has identical stem semantics (running BN stats) and the
+            kernel's custom VJP exists for exactly this, but the
+            stem-kernel-under-grad train program hit a remote-compile
+            pathology on the bench chip (>30 min, vs ~2 min for the same
+            kernel in the inference program) — measured r3; revisit when the
+            toolchain moves. predict_step keeps the full kernel-fused path
+            (models.retinanet.apply_detector)."""
             return module.apply(variables, images, False, return_levels=True)
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -421,6 +412,15 @@ class Trainer:
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, init_lr)
             )
+        # Momentum-cycling schedulers also set t=0 momentum at construction
+        # (torch OneCycleLR starts at max_momentum).
+        init_m = self._scheduler.momentum_at(0)
+        if init_m is not None:
+            from .optim import set_momentum
+
+            self.state = self.state.replace(
+                opt_state=set_momentum(self.state.opt_state, init_m)
+            )
         if self.resume_from_checkpoint:
             # restore_checkpoint also recovers _sched_lr + scheduler counters
             # from the host-state sidecar (the opt_state LR may be mid-warmup).
@@ -554,14 +554,18 @@ class Trainer:
             self.current_lr = lr
 
     def _step_scheduler(self, monitor_value: Optional[float]) -> None:
-        from .optim import warmup_scale
+        from .optim import set_momentum, warmup_scale
 
         self._sched_lr = self._scheduler.step(monitor_value)
         scale = warmup_scale(self.global_step, self._warmup_eff, self.warmup_factor)
         lr = self._sched_lr * scale
-        self.state = self.state.replace(
-            opt_state=set_learning_rate(self.state.opt_state, lr)
-        )
+        opt_state = set_learning_rate(self.state.opt_state, lr)
+        # Momentum-cycling schedulers (OneCycleLR with cycle_momentum, torch
+        # parity) write the momentum hyperparameter alongside the LR.
+        m = self._scheduler.momentum_at(self._scheduler.t)
+        if m is not None:
+            opt_state = set_momentum(opt_state, m)
+        self.state = self.state.replace(opt_state=opt_state)
         self.current_lr = lr
 
     def _run_validation(self, model: RetinaNetModel, eval_step) -> Dict[str, float]:

@@ -16,6 +16,11 @@ Every kernel has a pure-XLA equivalent in :mod:`..ops` or
 (``use_pallas`` flags / inference gating) with parity enforced by tests.
 """
 
+from .bottleneck_pallas import (
+    bottleneck_reference_xla,
+    fused_bottleneck,
+    fused_bottleneck_supported,
+)
 from .nms_pallas import pallas_nms_keep_mask, tpu_available
 from .stem_pallas import fused_stem, fused_stem_supported, stem_reference_xla
 
@@ -24,5 +29,8 @@ __all__ = [
     "tpu_available",
     "fused_stem",
     "fused_stem_supported",
+    "fused_bottleneck",
+    "fused_bottleneck_supported",
+    "bottleneck_reference_xla",
     "stem_reference_xla",
 ]

@@ -210,9 +210,11 @@ def stem_reference_xla(
     ).astype(jnp.float32)
     y = jnp.maximum(y * scale.astype(jnp.float32) + bias.astype(jnp.float32), 0.0)
     y = y.astype(jnp.bfloat16)
-    init = jnp.asarray(-jnp.inf, y.dtype)
+    # init must be the -inf PYTHON scalar: a traced/array init demotes this to
+    # the generic reduce_window, which has no reverse-mode autodiff rule (the
+    # custom-VJP train path differentiates through this function).
     return jax.lax.reduce_window(
-        y, init, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
 

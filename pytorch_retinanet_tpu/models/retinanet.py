@@ -79,25 +79,32 @@ class RetinaNetModule(nn.Module):
         train: bool = False,
         return_levels: bool = False,
         stem_in: Array | None = None,
+        feats_in: Dict[str, Array] | None = None,
     ) -> Tuple[Array, Array]:
-        if stem_in is None:
-            mean = jnp.asarray(self.mean, dtype=jnp.float32)
-            std = jnp.asarray(self.std, dtype=jnp.float32)
-            x = (images.astype(jnp.float32) - mean) / std
+        if feats_in is not None:
+            # Precomputed C3/C4/C5 (the kernel-fused trunk,
+            # models/fused_backbone.py) — skip the flax backbone entirely;
+            # its params stay in the variables dict, unused this call.
+            feats = {k: v.astype(self.dtype) for k, v in feats_in.items()}
         else:
-            # stem_in is the fused Pallas stem's output on the ALREADY
-            # normalized image (kernels/stem_pallas.fused_stem normalizes);
-            # images is ignored by the backbone in that case.
-            x = images
-        feats = ResNetBackbone(
-            kind=self.backbone_kind,
-            freeze_bn=self.freeze_bn,
-            remat=self.remat,
-            stem_s2d=self.stem_s2d,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="backbone",
-        )(x, train, stem_in=stem_in)
+            if stem_in is None:
+                mean = jnp.asarray(self.mean, dtype=jnp.float32)
+                std = jnp.asarray(self.std, dtype=jnp.float32)
+                x = (images.astype(jnp.float32) - mean) / std
+            else:
+                # stem_in is the fused Pallas stem's output on the ALREADY
+                # normalized image (kernels/stem_pallas.fused_stem
+                # normalizes); images is ignored by the backbone then.
+                x = images
+            feats = ResNetBackbone(
+                kind=self.backbone_kind,
+                freeze_bn=self.freeze_bn,
+                remat=self.remat,
+                stem_s2d=self.stem_s2d,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="backbone",
+            )(x, train, stem_in=stem_in)
         pyramid = FeaturePyramid(
             channels=self.channels,
             dtype=self.dtype,
@@ -144,6 +151,7 @@ def apply_detector(
     *,
     return_levels: bool = False,
     use_fused_stem: bool | None = None,
+    use_fused_trunk: bool = False,
 ):
     """Inference forward pass with the fused Pallas stem when supported.
 
@@ -159,6 +167,20 @@ def apply_detector(
         use_fused_stem = fused_stem_applicable(module, images.shape)
     if use_fused_stem:
         stem = fused_stem(variables, images, mean=module.mean, std=module.std)
+        if use_fused_trunk:
+            # Opt-in kernel-fused trunk (models/fused_backbone.py): identity
+            # bottlenecks as single VMEM-resident Pallas passes. Compiled
+            # correct (TPU_SELFCHECK.json) but measured SLOWER end-to-end
+            # than XLA's convs at the bench config (194 vs 215 img/s —
+            # docs/ROOFLINE_BACKBONE.md "fused trunk" section), so default
+            # off until the per-cell overheads are engineered away.
+            from .fused_backbone import apply_trunk_fused, fused_trunk_applicable
+
+            if fused_trunk_applicable(module.backbone_kind):
+                feats = apply_trunk_fused(variables, stem, module.backbone_kind)
+                return module.apply(
+                    variables, images, False, return_levels, feats_in=feats
+                )
         return module.apply(variables, images, False, return_levels, stem_in=stem)
     return module.apply(variables, images, False, return_levels)
 
@@ -347,7 +369,15 @@ class Retinanet:
         )
 
     def _pad_ragged(self, images, targets):
-        """Reference-style ragged inputs → fixed-shape padded batch."""
+        """Reference-style ragged inputs → fixed-shape padded batch.
+
+        A MIXED-orientation list letterboxes every image up to the batch max
+        (max_size x max_size) — the same pad-to-batch-max the reference's
+        GeneralizedRCNNTransform applies to every batch, but it compiles a
+        third (larger) XLA program here. The data pipeline avoids this by
+        grouping batches by orientation (data/loader.py); callers feeding
+        ragged lists directly should group likewise when throughput matters.
+        """
         from ..data.loader import pad_targets  # lazy: loader imports this module
 
         padded_imgs, padded_boxes, padded_labels, padded_valid = [], [], [], []

@@ -149,6 +149,59 @@ class TestTorchSchedulerParity:
              "anneal_strategy": "linear"},
         )
 
+    def test_onecycle_momentum_cycling_matches_torch(self):
+        """torch cycles momentum inversely to the LR (max→base→max) when
+        cycle_momentum=True; our momentum_at must reproduce it exactly."""
+        import torch
+
+        params = {"max_lr": 0.5, "total_steps": 20, "pct_start": 0.3,
+                  "base_momentum": 0.85, "max_momentum": 0.95}
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.1, momentum=0.9)
+        sched = torch.optim.lr_scheduler.OneCycleLR(opt, **params)
+        expected = [opt.param_groups[0]["momentum"]]
+        for _ in range(19):
+            opt.step()
+            sched.step()
+            expected.append(opt.param_groups[0]["momentum"])
+
+        s = build_scheduler("torch.optim.lr_scheduler.OneCycleLR", 0.1, params)
+        got = [s.momentum_at(0)]
+        for _ in range(19):
+            s.step()
+            got.append(s.momentum_at(s.t))
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-12)
+
+    def test_momentum_is_injectable_hyperparam(self):
+        """SGD+momentum exposes momentum in opt_state.hyperparams so the
+        Trainer can cycle it; set_momentum round-trips; momentum=0 SGD has
+        no injectable momentum and set_momentum is a safe no-op."""
+        import jax.numpy as jnp
+
+        from pytorch_retinanet_tpu.engine.optim import (
+            build_optimizer,
+            set_momentum,
+        )
+
+        opt = build_optimizer("torch.optim.SGD", {"lr": 0.1, "momentum": 0.9})
+        state = opt.init({"w": jnp.zeros(3)})
+        assert float(state.hyperparams["momentum"]) == pytest.approx(0.9)
+        state = set_momentum(state, 0.87)
+        assert float(state.hyperparams["momentum"]) == pytest.approx(0.87)
+        # the updated momentum actually drives the trace decay
+        g = {"w": jnp.ones(3)}
+        _, state = opt.update(g, state, {"w": jnp.zeros(3)})
+        updates, state = opt.update(g, state, {"w": jnp.zeros(3)})
+        # second step: velocity = g + 0.87 * g → update = -lr * 1.87
+        np.testing.assert_allclose(
+            np.asarray(updates["w"]), -0.1 * 1.87 * np.ones(3), rtol=1e-5
+        )
+
+        plain = build_optimizer("torch.optim.SGD", {"lr": 0.1})
+        pstate = plain.init({"w": jnp.zeros(3)})
+        assert "momentum" not in pstate.hyperparams
+        set_momentum(pstate, 0.5)  # no-op, must not raise
+
     def test_lambda_lr(self):
         import torch
 

@@ -126,6 +126,20 @@ class TestStemKernel:
                 atol=2.0, rtol=0.05,
             )
 
+    def test_gradients_under_jit(self, stem_setup):
+        """The custom VJP must differentiate UNDER JIT too: a traced init
+        value in the reference maxpool once demoted reduce_window to the
+        generic (non-differentiable) form, which only surfaced when the
+        Trainer jitted the fused-stem train step (eager grad worked)."""
+        images, variables = stem_setup
+        w7, scale, bias = _folded(variables)
+
+        def loss_k(w, s, b):
+            return jnp.sum(_fused_stem(images, w, s, b, True).astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(w7, scale, bias)
+        assert all(np.all(np.isfinite(np.asarray(x, np.float32))) for x in g)
+
     def test_shape_gating(self):
         assert fused_stem_supported((2, 64, 96, 3))
         assert fused_stem_supported((16, 800, 1344, 3))

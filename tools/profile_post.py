@@ -98,17 +98,29 @@ def main() -> None:
         return out
 
     def stage2_one(cls_l):
+        # Mirrors ops.nms.process_detections_multilevel's hybrid: large
+        # levels gather the stage-1 anchors' rows; small levels (P6/P7)
+        # select directly over the full [A_l*C] pair space, gather-free.
         a_idxs = stage1_one(cls_l)
         out = []
         for x, a_idx in zip(cls_l, a_idxs):
-            rows = x[a_idx].astype(jnp.float32)
-            flat = rows.reshape(-1)
+            a_l = x.shape[0]
+            if approx and a_l > 4 * min(k_top, a_l):
+                rows = jnp.take(x, a_idx, axis=0, unique_indices=True).astype(
+                    jnp.float32
+                )
+                flat = rows.reshape(-1)
+                k_l = min(k_top, flat.shape[0])
+                s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
+                out.append((s_l, a_idx[idx_l // C], (idx_l % C).astype(jnp.int32)))
+                continue
+            flat = x.reshape(-1).astype(jnp.float32)
             k_l = min(k_top, flat.shape[0])
             if approx and flat.shape[0] > 4 * k_l:
                 s_l, idx_l = jax.lax.approx_max_k(flat, k_l)
             else:
                 s_l, idx_l = jax.lax.top_k(flat, k_l)
-            out.append((s_l, a_idx[idx_l // C], (idx_l % C).astype(jnp.int32)))
+            out.append((s_l, idx_l // C, (idx_l % C).astype(jnp.int32)))
         return out
 
     def merge_one(cls_l, box_l, size):

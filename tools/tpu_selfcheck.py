@@ -123,6 +123,38 @@ def main() -> None:
             results["ok"] = False
     results["fused_stem_compiled"] = stem_cases
 
+    # Fused identity-bottleneck kernel (compiled) vs the XLA composition it
+    # replaces (models/fused_backbone.py routes layer1-3 identity blocks
+    # through it on the inference path).
+    from pytorch_retinanet_tpu.kernels import bottleneck_reference_xla
+    from pytorch_retinanet_tpu.kernels.bottleneck_pallas import _fused_bottleneck
+
+    bott_cases = []
+    for (h, w, cin, mid), seed in (((16, 24, 256, 64), 0), ((10, 84, 1024, 256), 1)):
+        r = np.random.default_rng(seed)
+        x = jnp.asarray(r.normal(0, 1, (2, h, w, cin)).astype(np.float32))
+        w1 = jnp.asarray(r.normal(0, 0.05, (1, 1, cin, mid)).astype(np.float32))
+        w2 = jnp.asarray(r.normal(0, 0.05, (3, 3, mid, mid)).astype(np.float32))
+        w3 = jnp.asarray(r.normal(0, 0.05, (1, 1, mid, cin)).astype(np.float32))
+        vec = lambda lo, hi, n: jnp.asarray(r.uniform(lo, hi, n).astype(np.float32))  # noqa: E731
+        args = (w1, vec(0.5, 1.5, mid), vec(-0.2, 0.2, mid),
+                w2, vec(0.5, 1.5, mid), vec(-0.2, 0.2, mid),
+                w3, vec(0.5, 1.5, cin), vec(-0.2, 0.2, cin))
+        ref = np.asarray(bottleneck_reference_xla(x, *args), np.float32)
+        got = np.asarray(_fused_bottleneck(x, *args, False), np.float32)
+        err = float(np.abs(got - ref).max())
+        scale = float(np.abs(ref).max())
+        zero_agree = float(((ref == 0) == (got == 0)).mean())
+        # bf16 outputs: bound is relative to the activation scale (kernel
+        # and XLA round intermediates at different points)
+        ok = bool(err < 0.04 * max(scale, 1.0) and zero_agree > 0.99)
+        bott_cases.append({"shape": [h, w, cin, mid], "max_abs_err": err,
+                           "ref_scale": scale,
+                           "relu_zero_agreement": zero_agree, "ok": ok})
+        if not ok:
+            results["ok"] = False
+    results["fused_bottleneck_compiled"] = bott_cases
+
     # Fused stem TRAIN path: grads through the custom VJP (Pallas forward,
     # XLA-recompute backward — what the Trainer's frozen-BN train step now
     # uses) must match grads through the plain XLA composition on-chip.
