@@ -238,6 +238,10 @@ def process_detections_multilevel(
     num_classes = cls_levels[0].shape[-1]
     cand_scores, cand_boxes, cand_classes = [], [], []
     for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
+        # Anchors arrive as lru_cached numpy constants (ops/anchors.py); a
+        # numpy array cannot be indexed by a traced sel_anchor — make it a
+        # jnp constant here so callers can pass either form under jit.
+        anc_l = jnp.asarray(anc_l)
         a_l = cls_l.shape[0]
         k_anchors = min(pre_nms_top_k, a_l)
         if not approx_top_k:

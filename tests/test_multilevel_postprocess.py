@@ -93,6 +93,38 @@ class TestMultilevelParity:
             atol=1e-3,
         )
 
+    def test_numpy_anchors_under_jit(self, level_setup):
+        """Anchors arrive as lru_cached numpy constants (ops/anchors.py);
+        indexing them with a traced sel_anchor must not raise
+        TracerArrayConversionError (regression: nms.py:289, found by the
+        production-scale parity run)."""
+        import jax
+
+        image_size, _, cls_levels, box_levels = level_setup
+        np_anchors = generate_anchors_per_level(image_size)  # numpy, uncast
+        assert all(isinstance(a, np.ndarray) for a in np_anchors)
+
+        @jax.jit
+        def run(cls_levels, box_levels, size):
+            return process_detections_multilevel(
+                cls_levels, box_levels, np_anchors, size,
+                approx_top_k=False, use_pallas=False, pre_nms_top_k=300,
+            )
+
+        det = run(
+            tuple(cls_levels), tuple(box_levels),
+            jnp.asarray([float(image_size[0]), float(image_size[1])]),
+        )
+        ref = process_detections_multilevel(
+            cls_levels, box_levels,
+            [jnp.asarray(a) for a in np_anchors],
+            jnp.asarray([float(image_size[0]), float(image_size[1])]),
+            approx_top_k=False, use_pallas=False, pre_nms_top_k=300,
+        )
+        np.testing.assert_allclose(
+            np.asarray(det.boxes), np.asarray(ref.boxes), rtol=1e-6
+        )
+
     def test_approx_topk_keeps_planted_box(self, level_setup):
         image_size, anchors_levels, cls_levels, box_levels = level_setup
         cls_levels = [np.full(np.asarray(c).shape, -20.0, np.float32) for c in cls_levels]
