@@ -149,7 +149,15 @@ class RetinaNetModel:
         opt_conf = self.hparams.optimizer or ConfigDict(
             {"class_name": "torch.optim.SGD", "params": {"lr": 1e-3}}
         )
-        optimizer = build_optimizer(opt_conf.class_name, opt_conf.get("params"))
+        optimizer = build_optimizer(
+            opt_conf.class_name,
+            opt_conf.get("params"),
+            # Opt-in leaf coalescing (optax.flatten): one raveled update
+            # vector instead of ~160 per-leaf kernel chains. Changes the
+            # optimizer-state pytree, so checkpoints only resume under the
+            # same flag — which the config itself carries.
+            flatten=bool(opt_conf.get("flatten") or False),
+        )
         sched_conf = self.hparams.scheduler or ConfigDict({})
         base_lr = float((opt_conf.get("params") or {}).get("lr", 1e-3))
         scheduler = build_scheduler(

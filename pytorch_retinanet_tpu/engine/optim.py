@@ -83,10 +83,23 @@ OPTIMIZER_REGISTRY: Dict[str, Callable[..., optax.GradientTransformation]] = {
 
 
 def build_optimizer(
-    class_name: str, params: Optional[Mapping[str, Any]] = None
+    class_name: str,
+    params: Optional[Mapping[str, Any]] = None,
+    *,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """Resolve an optimizer config (``hparams.yaml:63-68`` shape) to an optax
-    transform with an injectable ``learning_rate`` hyperparameter."""
+    transform with an injectable ``learning_rate`` hyperparameter.
+
+    ``flatten=True`` wraps the inner transform in :func:`optax.flatten`, so
+    the update math runs over ONE raveled vector instead of one kernel chain
+    per param leaf (~160 leaves for R50-FPN). Measured on the v5e at the
+    default train config (bs8, 800x1344): per-leaf 140.1 ms/step vs
+    flattened 144.7 ms/step — XLA already fuses the per-leaf SGD chains,
+    and the ravel/concat adds HBM traffic, so this stays OPT-IN and off by
+    default. The optimizer state then stores a flat momentum vector:
+    checkpoints are not interchangeable between flatten modes.
+    """
     if class_name not in OPTIMIZER_REGISTRY:
         raise KeyError(
             f"unknown optimizer {class_name!r}; available: {sorted(OPTIMIZER_REGISTRY)}"
@@ -94,6 +107,9 @@ def build_optimizer(
     kwargs = dict(params or {})
     lr = kwargs.pop("lr", kwargs.pop("learning_rate", 1e-3))
     factory = OPTIMIZER_REGISTRY[class_name]
+
+    def wrap(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        return optax.flatten(tx) if flatten else tx
 
     momentum = kwargs.get("momentum")
     if momentum:
@@ -104,12 +120,12 @@ def build_optimizer(
         kwargs.pop("momentum")
 
         def make(learning_rate: float, momentum: float) -> optax.GradientTransformation:
-            return factory(learning_rate, momentum=momentum, **kwargs)
+            return wrap(factory(learning_rate, momentum=momentum, **kwargs))
 
         return optax.inject_hyperparams(make)(learning_rate=lr, momentum=momentum)
 
     def make(learning_rate: float) -> optax.GradientTransformation:
-        return factory(learning_rate, **kwargs)
+        return wrap(factory(learning_rate, **kwargs))
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
 

@@ -114,6 +114,36 @@ class TestFit:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+class TestOptimizerFlattenConfig:
+    def test_flatten_flag_flows_through_config(self, conf):
+        """`optimizer.flatten: true` reaches build_optimizer: the optimizer
+        state carries ONE raveled momentum vector instead of per-leaf trees,
+        and the LR hyperparameter stays injectable."""
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch_retinanet_tpu.engine.optim import set_learning_rate
+
+        flat_conf = OmegaConf.create(
+            {**conf, "optimizer": {**conf["optimizer"], "flatten": True}}
+        )
+        model = RetinaNetModel(flat_conf)
+        opt, _, _ = model.configure_optimizers()
+        params = {"a": jnp.ones((3, 4)), "b": {"c": jnp.zeros(5)}}
+        state = opt.init(params)
+        state = set_learning_rate(state, 0.01)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        # Same pytree out regardless of the internal flat representation.
+        assert jax.tree_util.tree_structure(
+            updates
+        ) == jax.tree_util.tree_structure(params)
+        # The momentum buffer inside the state is flat: exactly one leaf
+        # with 3*4 + 5 elements at some depth of the inner state.
+        sizes = [l.size for l in jax.tree_util.tree_leaves(state.inner_state)]
+        assert 3 * 4 + 5 in sizes
+
+
 class TestCheckpointResume:
     def test_restore_roundtrip(self, conf, fitted):
         import jax

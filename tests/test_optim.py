@@ -243,6 +243,50 @@ class TestOptimizers:
             params = optax.apply_updates(params, updates)
         assert float(params["w"]) == pytest.approx(2.0, abs=1e-2)
 
+    def test_flatten_matches_per_leaf_updates(self):
+        """build_optimizer(flatten=True) coalesces the per-leaf optimizer
+        math into one raveled vector (optax.flatten) — the resulting param
+        trajectory must be IDENTICAL to the per-leaf form, and the LR /
+        momentum hyperparams must stay injectable at the outer level."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from pytorch_retinanet_tpu.engine.optim import set_momentum
+
+        conf = {"lr": 0.1, "momentum": 0.9, "weight_decay": 1e-4}
+        ref = build_optimizer("torch.optim.SGD", conf)
+        flat = build_optimizer("torch.optim.SGD", conf, flatten=True)
+
+        key = jax.random.PRNGKey(0)
+        params = {
+            "conv": {"kernel": jax.random.normal(key, (3, 3, 4, 8))},
+            "bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        }
+
+        def loss(p):
+            return (
+                jnp.sum(p["conv"]["kernel"] ** 2) * 0.01
+                + jnp.sum((p["bn"]["scale"] - 2.0) ** 2)
+                + jnp.sum(p["bn"]["bias"] ** 2)
+            )
+
+        def run(opt):
+            p, s = params, opt.init(params)
+            s = set_learning_rate(s, 0.05)
+            s = set_momentum(s, 0.8)
+            for _ in range(5):
+                u, s = opt.update(jax.grad(loss)(p), s, p)
+                p = optax.apply_updates(p, u)
+            return p
+
+        p_ref, p_flat = run(ref), run(flat)
+        for path in (("conv", "kernel"), ("bn", "scale"), ("bn", "bias")):
+            a, b = p_ref, p_flat
+            for k in path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
     def test_lr_injection_roundtrip(self):
         import jax.numpy as jnp
 

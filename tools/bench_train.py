@@ -3,9 +3,11 @@
 Measures the fully-jitted, donated train step for RetinaNet R50-FPN at the
 800px bucket, mirroring the Trainer's REAL step (engine/trainer.py
 _build_steps): per-level head outputs + per-level loss (no cross-level
-concat), fused Pallas stem on the frozen-BN forward, SGD+momentum update.
+concat), plain XLA stem (the trainer reverted the fused-stem train path
+after a remote-compile pathology — trainer.py forward_levels), SGD+momentum
+update. ``--fused-stem`` opts into the kernel path for comparison runs.
 
-    python tools/bench_train.py [--batch 8] [--remat] [--no-fused-stem]
+    python tools/bench_train.py [--batch 8] [--remat] [--fused-stem]
     python tools/bench_train.py --sweep      # batch 8/16/32 x remat on/off
 
 The sweep records every point and the knee into TRAIN_BENCH.json (the train
@@ -34,6 +36,7 @@ enable_compilation_cache()
 
 
 def build_step(module, stats, optimizer, size, use_fused_stem):
+    """One fully-jitted donated train step (mirrors trainer._build_steps)."""
     from pytorch_retinanet_tpu.kernels import fused_stem
     from pytorch_retinanet_tpu.ops import (
         generate_anchors_per_level,
@@ -64,7 +67,7 @@ def build_step(module, stats, optimizer, size, use_fused_stem):
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
-def measure(backbone, size, batch, remat, use_fused_stem, iters):
+def measure(backbone, size, batch, remat, use_fused_stem, iters, flat_opt=False):
     from pytorch_retinanet_tpu.engine.optim import build_optimizer
     from pytorch_retinanet_tpu.models import RetinaNetModule
 
@@ -72,7 +75,9 @@ def measure(backbone, size, batch, remat, use_fused_stem, iters):
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)))
     params, stats = variables["params"], variables["batch_stats"]
     optimizer = build_optimizer(
-        "torch.optim.SGD", {"lr": 1e-4, "momentum": 0.9, "weight_decay": 1e-4}
+        "torch.optim.SGD",
+        {"lr": 1e-4, "momentum": 0.9, "weight_decay": 1e-4},
+        flatten=flat_opt,
     )
     opt_state = optimizer.init(params)
     step = build_step(module, stats, optimizer, size, use_fused_stem)
@@ -106,14 +111,19 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--no-fused-stem", action="store_true")
+    ap.add_argument("--fused-stem", action="store_true",
+                    help="opt-in: stem Pallas kernel under grad (NOT the "
+                         "trainer default; see trainer.py forward_levels)")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="optax.flatten'd optimizer (one raveled update "
+                         "vector instead of ~160 per-leaf kernel chains)")
     ap.add_argument("--sweep", action="store_true",
                     help="batch 8/16/32 x remat on/off; records the knee")
     args = ap.parse_args()
 
     size = (args.height, args.width)
     on_tpu = jax.default_backend() == "tpu"
-    use_fused = on_tpu and not args.no_fused_stem
+    use_fused = on_tpu and args.fused_stem
     out_path = os.path.join(os.path.dirname(__file__), "..", "TRAIN_BENCH.json")
 
     if args.sweep:
@@ -122,7 +132,8 @@ def main() -> None:
             for batch in (8, 16, 32):
                 try:
                     img_s, ms = measure(
-                        args.backbone, size, batch, remat, use_fused, args.iters
+                        args.backbone, size, batch, remat, use_fused,
+                        args.iters, args.flat_opt,
                     )
                 except Exception as e:  # OOM at big batches is a data point
                     print(f"bs{batch} remat={remat}: FAILED ({type(e).__name__})")
@@ -152,7 +163,8 @@ def main() -> None:
         return
 
     img_s, ms = measure(
-        args.backbone, size, args.batch, args.remat, use_fused, args.iters
+        args.backbone, size, args.batch, args.remat, use_fused, args.iters,
+        args.flat_opt,
     )
     line = json.dumps({
         "metric": f"train_step_{args.backbone}_{args.height}x{args.width}_bs{args.batch}"
@@ -163,12 +175,12 @@ def main() -> None:
         "step_ms": round(ms, 1),
         "backend": jax.default_backend(),
         "fused_stem": use_fused,
+        "flat_opt": args.flat_opt,
     })
     print(line)
     # Persist at the default config so the artifact stays in sync with runs.
-    if (args.backbone, args.height, args.width, args.batch, args.remat) == (
-        "resnet50", 800, 1344, 8, False,
-    ):
+    if (args.backbone, args.height, args.width, args.batch, args.remat,
+        args.flat_opt) == ("resnet50", 800, 1344, 8, False, False):
         with open(out_path, "w") as f:
             f.write(line + "\n")
 
