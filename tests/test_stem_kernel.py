@@ -147,3 +147,20 @@ class TestStemKernel:
         assert not fused_stem_supported((2, 64, 98, 3))  # W % 4 != 0
         assert not fused_stem_supported((2, 64, 96, 12))  # packed channels
         assert not fused_stem_supported((64, 96, 3))
+
+    def test_multi_device_gating(self, monkeypatch):
+        """fused_stem_applicable must refuse a >1-device context even when
+        the TPU/shape checks pass: pallas_call has no SPMD partitioning
+        rule, so on a sharded mesh the kernel would replicate the global
+        batch per device (ADVICE r2). The conftest provides 8 CPU devices;
+        force the other gates open to isolate the device-count gate."""
+        import pytorch_retinanet_tpu.kernels as kernels
+        from pytorch_retinanet_tpu.models.retinanet import (
+            fused_stem_applicable,
+        )
+
+        monkeypatch.setattr(kernels, "tpu_available", lambda: True)
+        monkeypatch.setattr(kernels, "fused_stem_supported", lambda s: True)
+        module = RetinaNetModule(backbone_kind="resnet18", num_classes=3)
+        assert jax.device_count() == 8
+        assert not fused_stem_applicable(module, (8, 64, 96, 3))
