@@ -22,6 +22,7 @@ from .bottleneck_pallas import (
     fused_bottleneck_supported,
 )
 from .nms_pallas import pallas_nms_keep_mask, tpu_available
+from .select_pallas import pallas_top2_classes, top2_reference_xla
 from .stem_pallas import fused_stem, fused_stem_supported, stem_reference_xla
 
 __all__ = [
@@ -33,4 +34,6 @@ __all__ = [
     "fused_bottleneck_supported",
     "bottleneck_reference_xla",
     "stem_reference_xla",
+    "pallas_top2_classes",
+    "top2_reference_xla",
 ]

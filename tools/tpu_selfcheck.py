@@ -155,6 +155,29 @@ def main() -> None:
             results["ok"] = False
     results["fused_bottleneck_compiled"] = bott_cases
 
+    # Top-2 selection kernel (compiled) vs its XLA reference. The kernel is
+    # a measured negative result (unaligned-minor DMA, 7x slower than the
+    # two-stage scheme — select_pallas.py docstring) kept as groundwork;
+    # the selfcheck pins compiled CORRECTNESS at production level shapes.
+    from pytorch_retinanet_tpu.kernels.select_pallas import (
+        pallas_top2_classes,
+        top2_reference_xla,
+    )
+
+    sel_cases = []
+    for a_l, seed in ((151200, 0), (9450, 1)):
+        r = np.random.default_rng(seed)
+        x = jnp.asarray(
+            r.normal(-4.0, 2.0, (a_l, 90)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        got = [np.asarray(o) for o in pallas_top2_classes(x)]
+        ref = [np.asarray(o) for o in top2_reference_xla(x)]
+        exact = bool(all((g == rr).all() for g, rr in zip(got, ref)))
+        sel_cases.append({"a": a_l, "exact": exact})
+        if not exact:
+            results["ok"] = False
+    results["top2_select_compiled"] = sel_cases
+
     # Fused stem TRAIN path: grads through the custom VJP (Pallas forward,
     # XLA-recompute backward — what the Trainer's frozen-BN train step now
     # uses) must match grads through the plain XLA composition on-chip.
