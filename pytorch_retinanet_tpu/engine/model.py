@@ -74,11 +74,14 @@ class RetinaNetModel:
             )
         elif kind == "csv":
             self.trn_ds = PascalDataset(conf.dataset.trn_paths, trn_tfms)
-            # `is not None` (not truthiness): valid_paths may be a DataFrame,
-            # whose __bool__ raises.
+            # Identity checks, not truthiness: valid_paths may be a DataFrame
+            # (whose __bool__ raises), while the reference demo's "no
+            # validation" spelling is `valid_paths: False` (demo.ipynb
+            # hparams cell) and YAML configs may leave it null.
+            vp = conf.dataset.valid_paths
             self.val_ds = (
-                PascalDataset(conf.dataset.valid_paths, build_transforms(None))
-                if conf.dataset.valid_paths is not None
+                PascalDataset(vp, build_transforms(None))
+                if vp is not None and vp is not False
                 else None
             )
             self.test_ds = PascalDataset(conf.dataset.test_paths, build_transforms(None))

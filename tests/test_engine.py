@@ -114,6 +114,21 @@ class TestFit:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+class TestNoValidationSplit:
+    def test_valid_paths_false_means_no_val_ds(self, conf):
+        """The reference demo spells "no validation" as `valid_paths: False`
+        (demo.ipynb hparams cell); the csv branch must treat False like
+        null instead of constructing PascalDataset(False) (regression:
+        found by the round-3 demo_voc TPU run)."""
+        no_val = OmegaConf.create(
+            {**conf, "dataset": {**conf["dataset"], "valid_paths": False}}
+        )
+        model = RetinaNetModel(no_val)
+        model.prepare_data()
+        assert model.val_ds is None
+        assert model.trn_ds is not None and model.test_ds is not None
+
+
 class TestOptimizerFlattenConfig:
     def test_flatten_flag_flows_through_config(self, conf):
         """`optimizer.flatten: true` reaches build_optimizer: the optimizer
