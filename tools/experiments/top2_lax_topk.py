@@ -1,0 +1,70 @@
+"""Can lax.top_k(logits, 2) along classes replace the stage-1/2 row gather?"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pytorch_retinanet_tpu.config import PRE_NMS_TOP_K
+
+h, w = 800, 1344
+B, C = 32, 90
+k_top = PRE_NMS_TOP_K
+rng = np.random.default_rng(0)
+cls_levels = [jnp.asarray(rng.normal(-4.0, 2.0, (B, (h//s)*(w//s)*9, C)).astype(np.float32)).astype(jnp.bfloat16) for s in (8, 16, 32, 64, 128)]
+
+def current(cls_l):
+    out = []
+    for x in cls_l:
+        a_l = x.shape[0]
+        k_anchors = min(k_top, a_l)
+        if a_l > 4 * k_anchors:
+            anchor_max = jnp.max(x, axis=-1)
+            _, a_idx = jax.lax.approx_max_k(anchor_max, k_anchors)
+            rows = jnp.take(x, a_idx, axis=0, unique_indices=True).astype(jnp.float32)
+            s_l, idx_l = jax.lax.approx_max_k(rows.reshape(-1), k_top)
+            out.append((s_l, a_idx[idx_l // C], (idx_l % C).astype(jnp.int32)))
+        else:
+            flat = x.reshape(-1).astype(jnp.float32)
+            k_l = min(k_top, flat.shape[0])
+            s_l, idx_l = (jax.lax.approx_max_k(flat, k_l) if flat.shape[0] > 4 * k_l
+                          else jax.lax.top_k(flat, k_l))
+            out.append((s_l, idx_l // C, (idx_l % C).astype(jnp.int32)))
+    return out
+
+def top2(cls_l):
+    out = []
+    for x in cls_l:
+        a_l = x.shape[0]
+        k_anchors = min(k_top, a_l)
+        if a_l > 4 * k_anchors:
+            v2, i2 = jax.lax.top_k(x, 2)                  # [A_l, 2] one pass?
+            _, a_idx = jax.lax.approx_max_k(v2[:, 0], k_anchors)
+            vv = jnp.take(v2, a_idx, axis=0, unique_indices=True).astype(jnp.float32)
+            ii = jnp.take(i2, a_idx, axis=0, unique_indices=True)
+            s_l, idx_l = jax.lax.approx_max_k(vv.reshape(-1), k_top)
+            out.append((s_l, a_idx[idx_l // 2], jnp.take(ii.reshape(-1), idx_l).astype(jnp.int32)))
+        else:
+            flat = x.reshape(-1).astype(jnp.float32)
+            k_l = min(k_top, flat.shape[0])
+            s_l, idx_l = (jax.lax.approx_max_k(flat, k_l) if flat.shape[0] > 4 * k_l
+                          else jax.lax.top_k(flat, k_l))
+            out.append((s_l, idx_l // C, (idx_l % C).astype(jnp.int32)))
+    return out
+
+def make(fn):
+    @jax.jit
+    def f(*arrays):
+        res = jax.vmap(fn)(tuple(arrays))
+        return sum(jnp.sum(l.astype(jnp.float32)) for t in res for l in t)
+    return f
+
+def bench(fn, *args, iters=30):
+    float(jax.device_get(fn(*args)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jax.device_get(out))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+print(f"current 2-stage + row gather: {bench(make(current), *cls_levels):7.2f} ms/batch32")
+print(f"lax.top_k(.,2) pair select  : {bench(make(top2), *cls_levels):7.2f} ms/batch32")
