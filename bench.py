@@ -42,7 +42,10 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     image_size = (800, 1344)  # the ACTUAL default 800/1333 landscape bucket
 
-    module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
+    # The headline metric is R50 (the driver contract); BENCH_BACKBONE widens
+    # the evidence to the paper's other bottleneck trunks (resnet101/152).
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    module = RetinaNetModule(backbone_kind=backbone, num_classes=90)
     rng = jax.random.PRNGKey(0)
     images = jnp.zeros((1, *image_size, 3), jnp.float32)
     variables = module.init(rng, images)
@@ -80,11 +83,16 @@ def main() -> None:
     from pytorch_retinanet_tpu.utils.flops import detector_flops, peak_bf16_tflops
 
     peak = peak_bf16_tflops()
-    sol_img_per_sec = peak * 1e12 / detector_flops(*image_size)  # speed of light
+    sol_img_per_sec = peak * 1e12 / detector_flops(
+        *image_size, kind=backbone
+    )  # speed of light
+    tag = {"resnet50": "r50", "resnet101": "r101", "resnet152": "r152"}.get(
+        backbone, backbone
+    )
     print(
         json.dumps(
             {
-                "metric": "retinanet_r50_fpn_800px_infer",
+                "metric": f"retinanet_{tag}_fpn_800px_infer",
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec/chip",
                 # Fraction of this chip's speed-of-light throughput (MFU):

@@ -21,11 +21,16 @@ def conv_flops(out_hw, k, cin, cout) -> int:
     return 2 * out_hw[0] * out_hw[1] * k * k * cin * cout
 
 
-def resnet50_flops(h: int, w: int) -> int:
-    """Analytic conv FLOPs of the R50 trunk (stem + 4 stages) at input h*w."""
+_BOTTLENECK_DEPTHS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+                      "resnet152": (3, 8, 36, 3)}
+
+
+def resnet_trunk_flops(h: int, w: int, kind: str = "resnet50") -> int:
+    """Analytic conv FLOPs of a bottleneck-ResNet trunk (stem + 4 stages)."""
+    depths = _BOTTLENECK_DEPTHS[kind]
     fl = conv_flops((h // 2, w // 2), 7, 3, 64)  # stem
-    # (blocks, width, in_ch, stride) per stage — R50 depths (3, 4, 6, 3)
-    cfg = [(3, 64, 64, 1), (4, 128, 256, 2), (6, 256, 512, 2), (3, 512, 1024, 2)]
+    cfg = [(depths[0], 64, 64, 1), (depths[1], 128, 256, 2),
+           (depths[2], 256, 512, 2), (depths[3], 512, 1024, 2)]
     sh, sw = h // 4, w // 4
     for blocks, width, cin, stride in cfg:
         oh, ow = sh // stride, sw // stride
@@ -39,6 +44,11 @@ def resnet50_flops(h: int, w: int) -> int:
                 fl += conv_flops((oh, ow), 1, icin, width * 4)   # downsample
         sh, sw = oh, ow
     return fl
+
+
+def resnet50_flops(h: int, w: int) -> int:
+    """Analytic conv FLOPs of the R50 trunk (stem + 4 stages) at input h*w."""
+    return resnet_trunk_flops(h, w, "resnet50")
 
 
 def fpn_flops(h: int, w: int, channels: int = 256) -> int:
@@ -63,9 +73,15 @@ def head_flops(h: int, w: int, num_classes: int = 90, anchors: int = 9, channels
     return fl
 
 
-def detector_flops(h: int, w: int, num_classes: int = 90) -> int:
-    """Total forward conv FLOPs of R50-FPN + head for one image at h*w."""
-    return resnet50_flops(h, w) + fpn_flops(h, w) + head_flops(h, w, num_classes)
+def detector_flops(
+    h: int, w: int, num_classes: int = 90, kind: str = "resnet50"
+) -> int:
+    """Total forward conv FLOPs of ResNet-FPN + head for one image at h*w."""
+    return (
+        resnet_trunk_flops(h, w, kind)
+        + fpn_flops(h, w)
+        + head_flops(h, w, num_classes)
+    )
 
 
 # Published peak dense bf16 TFLOP/s per chip generation (public spec sheets).
