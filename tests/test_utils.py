@@ -94,3 +94,30 @@ def test_seed_everything_deterministic():
     seed_everything(7)
     b = (random.random(), np.random.rand())
     assert a == b
+
+
+class TestFlops:
+    """The analytic FLOPs are bench.py's speed-of-light denominator — pin
+    them so a refactor can't silently move the headline MFU."""
+
+    def test_r50_detector_flops_pinned(self):
+        from pytorch_retinanet_tpu.utils.flops import detector_flops
+
+        # 509.54 GFLOP/image at the 800px landscape bucket (docs/ROOFLINE.md's
+        # 16305 GFLOP/batch32).
+        assert detector_flops(800, 1344) == 509_539_817_472
+
+    def test_trunk_depth_scaling(self):
+        from pytorch_retinanet_tpu.utils.flops import resnet_trunk_flops
+
+        r50 = resnet_trunk_flops(800, 1344, "resnet50")
+        r101 = resnet_trunk_flops(800, 1344, "resnet101")
+        r152 = resnet_trunk_flops(800, 1344, "resnet152")
+        assert r50 < r101 < r152
+        # R101 adds 17 layer3 blocks over R50 — ratio ~1.9 at this size.
+        assert 1.8 < r101 / r50 < 2.0
+
+    def test_orientation_symmetric(self):
+        from pytorch_retinanet_tpu.utils.flops import detector_flops
+
+        assert detector_flops(800, 1344) == detector_flops(1344, 800)
