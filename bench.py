@@ -44,7 +44,16 @@ def main() -> None:
 
     # The headline metric is R50 (the driver contract); BENCH_BACKBONE widens
     # the evidence to the paper's other bottleneck trunks (resnet101/152).
+    # Fail fast on kinds the speed-of-light tables don't cover — the KeyError
+    # would otherwise fire AFTER the multi-minute compile+measure loop.
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    from pytorch_retinanet_tpu.utils.flops import supported_trunks
+
+    if backbone not in supported_trunks():
+        raise SystemExit(
+            f"BENCH_BACKBONE={backbone!r} has no analytic-FLOPs table "
+            f"(supported: {sorted(supported_trunks())})"
+        )
     module = RetinaNetModule(backbone_kind=backbone, num_classes=90)
     rng = jax.random.PRNGKey(0)
     images = jnp.zeros((1, *image_size, 3), jnp.float32)

@@ -413,8 +413,13 @@ class OneCycleLR(LRScheduler):
     def lr_at(self, t: int) -> float:
         t = min(t, self.total_steps)
         up_steps = float(self.pct_start * self.total_steps) - 1
-        if t <= up_steps:
+        # Degenerate up phase (pct_start*total_steps <= 1): no up steps
+        # exist, so t=0 starts at the down phase's peak instead of
+        # dividing 0/0 (found by review: momentum_at(0) is called
+        # unconditionally at fit() setup).
+        if up_steps > 0 and t <= up_steps:
             return self._anneal(self.init_lr, self.max_lr, t / up_steps)
+        up_steps = max(up_steps, 0.0)
         down_steps = self.total_steps - up_steps - 1
         return self._anneal(self.max_lr, self.min_lr, (t - up_steps) / down_steps)
 
@@ -428,8 +433,9 @@ class OneCycleLR(LRScheduler):
             return None
         t = min(t, self.total_steps)
         up_steps = float(self.pct_start * self.total_steps) - 1
-        if t <= up_steps:
+        if up_steps > 0 and t <= up_steps:
             return self._anneal(self.max_momentum, self.base_momentum, t / up_steps)
+        up_steps = max(up_steps, 0.0)  # degenerate up phase, see lr_at
         down_steps = self.total_steps - up_steps - 1
         return self._anneal(
             self.base_momentum, self.max_momentum, (t - up_steps) / down_steps

@@ -52,6 +52,19 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
+def fold_bn(params, stats, name: str, eps: float = 1e-5):
+    """Frozen-BN fold: y = x*scale + bias with scale = gamma/sqrt(var+eps).
+
+    The SINGLE definition shared by the kernel wrappers and the XLA trunk
+    interpreter (models/fused_backbone.py) so the fold algebra cannot
+    diverge between the kernel and its cross-check paths.
+    """
+    p = params[name]["BatchNorm_0"]
+    s = stats[name]["BatchNorm_0"]
+    scale = p["scale"] / jnp.sqrt(s["var"] + eps)
+    return scale, p["bias"] - s["mean"] * scale
+
+
 def _bottleneck_kernel(
     xp_hbm,   # [B, H+2, W, C] bf16 HBM (rows zero-padded by 1 top/bottom)
     w1_ref,   # [C, mid] bf16 VMEM
@@ -284,10 +297,7 @@ def fused_bottleneck(
     """Fused identity bottleneck from a flax block param/stat subtree
     (``layer{s}_block{i}`` with conv1/2/3 + bn1/2/3, models/backbone.py)."""
     def fold(bn_name):
-        p = block_params[bn_name]["BatchNorm_0"]
-        s = block_stats[bn_name]["BatchNorm_0"]
-        scale = p["scale"] / jnp.sqrt(s["var"] + eps)
-        return scale, p["bias"] - s["mean"] * scale
+        return fold_bn(block_params, block_stats, bn_name, eps)
 
     s1, b1 = fold("bn1")
     s2, b2 = fold("bn2")

@@ -30,13 +30,26 @@ def _to_numpy(t: Any) -> np.ndarray:
 
 
 def torch_resnet_to_flax(
-    state_dict: Mapping[str, Any], kind: str
+    state_dict: Mapping[str, Any], kind: str, consumed: "set | None" = None
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a torchvision ResNet state_dict → (params, batch_stats) subtrees
-    shaped for :class:`..models.backbone.ResNetBackbone`."""
+    shaped for :class:`..models.backbone.ResNetBackbone`.
+
+    ``consumed``, when given, collects exactly the keys this mapper READ —
+    the full-detector converter uses it for its refuse-partial-load check
+    (blanket-marking every backbone key would let unknown trunk weights be
+    silently dropped)."""
     block_kind, depths = RESNET_SPECS[kind]
     n_convs = 2 if block_kind == "basic" else 3
-    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    _plain = {k: _to_numpy(v) for k, v in state_dict.items()}
+
+    class _Tracking(dict):
+        def __getitem__(self, key):
+            if consumed is not None:
+                consumed.add(key)
+            return dict.__getitem__(self, key)
+
+    sd = _Tracking(_plain)
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -177,9 +190,16 @@ def torch_retinanet_to_flax(
             "prefix ResNet weights with the BackBone wrapper (reference "
             "backbone.py:340-360)"
         )
-    bb_params, bb_stats = torch_resnet_to_flax(bb_sd, kind)
+    bb_read: set = set()
+    bb_params, bb_stats = torch_resnet_to_flax(bb_sd, kind, consumed=bb_read)
+    # Only the keys the ResNet mapper actually READ count as consumed, plus
+    # the classifier head the detector never carries weights for; anything
+    # else under backbone.backbone.* must trip the leftover check below.
     consumed.update(
-        bb_prefix + k for k in bb_sd if not k.startswith("fc.")
+        bb_prefix + k for k in bb_read if k in bb_sd
+    )
+    consumed.update(
+        bb_prefix + k for k in bb_sd if k.startswith("fc.")
     )
 
     fpn_params = {ours: conv(f"fpn.{theirs}") for theirs, ours in _FPN_KEYMAP.items()}

@@ -31,17 +31,14 @@ from typing import Any, Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..kernels.bottleneck_pallas import fused_bottleneck, fused_bottleneck_supported
+from ..kernels.bottleneck_pallas import (
+    fold_bn as _fold_bn,
+    fused_bottleneck,
+    fused_bottleneck_supported,
+)
 from .backbone import RESNET_SPECS
 
 Array = jnp.ndarray
-
-
-def _fold_bn(params: Dict, stats: Dict, name: str, eps: float = 1e-5):
-    p = params[name]["BatchNorm_0"]
-    s = stats[name]["BatchNorm_0"]
-    scale = p["scale"] / jnp.sqrt(s["var"] + eps)
-    return scale, p["bias"] - s["mean"] * scale
 
 
 def _conv(x: Array, kernel: Array, strides: int, pad: int) -> Array:

@@ -136,8 +136,24 @@ def _local_rows_leaf(arr) -> np.ndarray:
         return np.asarray(shards[0].data) if shards else np.asarray(arr)
     starts = [(s.index[0].start or 0) if s.index else 0 for s in shards]
     if len(set(starts)) == 1:
-        return np.asarray(shards[0].data)
-    order = sorted(range(len(shards)), key=starts.__getitem__)
+        first = shards[0].data
+        if tuple(first.shape) != tuple(arr.shape):
+            # Equal leading-axis offsets but shard != global shape means the
+            # leaf is sharded on a NON-leading axis — returning one shard
+            # would silently drop the other columns (found by review).
+            raise ValueError(
+                "local_rows requires leaves replicated or sharded on the "
+                f"leading axis; got shard shape {tuple(first.shape)} vs "
+                f"global {tuple(arr.shape)}"
+            )
+        return np.asarray(first)  # fully replicated
+    # Leading-axis sharded; keep ONE shard per distinct row offset so a
+    # partially-replicated layout (e.g. starts [0, 0, 4, 4]) does not
+    # duplicate rows.
+    by_start: dict = {}
+    for i, st in enumerate(starts):
+        by_start.setdefault(st, i)
+    order = [by_start[st] for st in sorted(by_start)]
     return np.concatenate([np.asarray(shards[i].data) for i in order], axis=0)
 
 

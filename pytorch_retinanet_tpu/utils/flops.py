@@ -25,6 +25,12 @@ _BOTTLENECK_DEPTHS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
                       "resnet152": (3, 8, 36, 3)}
 
 
+def supported_trunks() -> set:
+    """Backbone kinds the analytic-FLOPs tables cover (bottleneck only —
+    basic-block trunks also have different FPN input widths)."""
+    return set(_BOTTLENECK_DEPTHS)
+
+
 def resnet_trunk_flops(h: int, w: int, kind: str = "resnet50") -> int:
     """Analytic conv FLOPs of a bottleneck-ResNet trunk (stem + 4 stages)."""
     depths = _BOTTLENECK_DEPTHS[kind]

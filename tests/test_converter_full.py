@@ -144,3 +144,13 @@ def test_full_converter_error_surface():
     with_anchors["anchor_generator.cell_anchors.0"] = np.zeros((9, 4), np.float32)
     params, _ = torch_retinanet_to_flax(with_anchors, "resnet18")
     assert "fpn" in params and "head" in params
+
+    # Unknown TRUNK weights must also trip the refuse-partial-load check:
+    # the backbone mapper only marks keys it actually read as consumed
+    # (regression: a blanket update once swallowed e.g. SE-block weights).
+    extra_trunk = dict(sd)
+    extra_trunk["backbone.backbone.layer1.0.se.fc.weight"] = np.zeros(
+        (4, 4), np.float32
+    )
+    with pytest.raises(KeyError, match="unrecognized"):
+        torch_retinanet_to_flax(extra_trunk, "resnet18")

@@ -100,7 +100,12 @@ class TestFusedTrunkVsModule:
             # Mild perturbation: BN scales > 1 compound activations through
             # 16 blocks, and with them bf16 drift — keep the fold
             # load-bearing without exponential magnitude growth.
-            key = jax.random.PRNGKey(hash(str(path)) % 2**31)
+            # zlib.crc32, not hash(): str.__hash__ is salted per process,
+            # which made the perturbation (and the tolerance margin it
+            # exercises) different on every pytest run.
+            import zlib
+
+            key = jax.random.PRNGKey(zlib.crc32(str(path).encode()) % 2**31)
             if path[-1].key == "mean":
                 return v + jax.random.normal(key, v.shape) * 0.05
             return v * jax.random.uniform(key, v.shape, minval=0.9, maxval=1.1)

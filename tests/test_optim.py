@@ -172,6 +172,21 @@ class TestTorchSchedulerParity:
             got.append(s.momentum_at(s.t))
         np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-12)
 
+    def test_onecycle_degenerate_up_phase(self):
+        """pct_start*total_steps <= 1 leaves no up steps; momentum_at(0) and
+        lr_at(0) must start at the down phase's peak instead of dividing
+        0/0 (regression: Trainer.fit calls momentum_at(0) at setup)."""
+        for total, pct in ((10, 0.1), (20, 0.05), (20, 0.03)):
+            s = build_scheduler(
+                "torch.optim.lr_scheduler.OneCycleLR", 0.1,
+                {"max_lr": 0.5, "total_steps": total, "pct_start": pct,
+                 "base_momentum": 0.85, "max_momentum": 0.95},
+            )
+            assert s.lr_at(0) == pytest.approx(0.5)      # peak LR
+            assert s.momentum_at(0) == pytest.approx(0.85)  # base momentum
+            # and the down phase still anneals monotonically
+            assert s.lr_at(total - 1) < s.lr_at(1) < s.lr_at(0) + 1e-12
+
     def test_momentum_is_injectable_hyperparam(self):
         """SGD+momentum exposes momentum in opt_state.hyperparams so the
         Trainer can cycle it; set_momentum round-trips; momentum=0 SGD has

@@ -102,8 +102,13 @@ def main() -> None:
         float(jax.device_get(out))
         compute_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
+        # Force the transferred buffer through a scalar reduction: on this
+        # harness block_until_ready on a large array returns early
+        # (CLAUDE.md axon timing rule), under-measuring the transfer.
+        reduce = jax.jit(lambda a: jnp.sum(a))
+        float(jax.device_get(reduce(dev_imgs)))  # compile + warm the reduce
         t0 = time.perf_counter()
-        jnp.asarray(host_imgs).block_until_ready()
+        float(jax.device_get(reduce(jnp.asarray(host_imgs))))
         transfer_ms = (time.perf_counter() - t0) * 1e3
 
         p50 = lat[len(lat) // 2]

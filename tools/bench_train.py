@@ -145,6 +145,19 @@ def main() -> None:
                     "img_per_sec": round(img_s, 2), "step_ms": round(ms, 1),
                 })
         ok = [p for p in points if "img_per_sec" in p]
+        if not ok:
+            # Every point failed — still persist the error records; they are
+            # the data.
+            line = json.dumps({
+                "metric": f"train_step_{args.backbone}_sweep_all_failed",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": None, "backend": jax.default_backend(),
+                "sweep": points,
+            })
+            print(line)
+            with open(out_path, "w") as f:
+                f.write(line + "\n")
+            return
         best = max(ok, key=lambda p: p["img_per_sec"])
         line = json.dumps({
             "metric": f"train_step_{args.backbone}_{args.height}x{args.width}"
