@@ -130,20 +130,72 @@ def build_optimizer(
     return optax.inject_hyperparams(make)(learning_rate=lr)
 
 
+def wrap_accumulation(
+    tx: optax.GradientTransformation,
+    every: int,
+    clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Gradient accumulation (pl.Trainer ``accumulate_grad_batches=N`` parity,
+    reference README.md:42-59's Trainer surface): average gradients over
+    ``every`` consecutive micro-batches and apply ``tx`` once per window.
+
+    ``clip_norm`` clips the ACCUMULATED (mean) gradients at optimizer-step
+    time — Lightning clips in ``optimizer_step`` after the accumulation
+    window closes, not per micro-batch, so the clip must live INSIDE the
+    accumulating wrapper. Built on :class:`optax.MultiSteps`; the optimizer
+    state gains one params-sized gradient buffer, so checkpoints are not
+    interchangeable between different accumulation settings.
+    """
+    if every <= 1:
+        raise ValueError(f"accumulation window must be >= 2, got {every}")
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    ms = optax.MultiSteps(tx, every_k_schedule=every)
+    return optax.GradientTransformation(ms.init, ms.update)
+
+
+def _hyperparams_state(opt_state):
+    """Locate the inject_hyperparams state inside a (possibly wrapped)
+    optimizer state: MultiSteps nests it under ``inner_opt_state`` and
+    optax.chain under a plain state tuple."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):
+        return _hyperparams_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)) and not hasattr(opt_state, "_fields"):
+        for sub in opt_state:
+            found = _hyperparams_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
+def _require_hyperparams(opt_state):
+    hp = _hyperparams_state(opt_state)
+    if hp is None:
+        raise TypeError(
+            "optimizer state has no inject_hyperparams layer — build it with "
+            "build_optimizer (optionally wrapped by wrap_accumulation)"
+        )
+    return hp
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write a new LR into an inject_hyperparams optimizer state (host-side,
-    between steps — the hyperparams dict is part of the optimizer pytree)."""
+    between steps — the hyperparams dict is part of the optimizer pytree).
+    Sees through MultiSteps/chain wrappers (:func:`wrap_accumulation`)."""
     import jax.numpy as jnp
 
-    cur = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+    hp = _require_hyperparams(opt_state)
+    cur = hp.hyperparams["learning_rate"]
+    hp.hyperparams["learning_rate"] = jnp.asarray(
         lr, dtype=getattr(cur, "dtype", jnp.float32)
     )
     return opt_state
 
 
 def current_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_require_hyperparams(opt_state).hyperparams["learning_rate"])
 
 
 def set_momentum(opt_state, momentum: float):
@@ -151,10 +203,11 @@ def set_momentum(opt_state, momentum: float):
     built without an injectable momentum — e.g. momentum=0 SGD, Adam)."""
     import jax.numpy as jnp
 
-    if "momentum" not in opt_state.hyperparams:
+    hp = _require_hyperparams(opt_state)
+    if "momentum" not in hp.hyperparams:
         return opt_state
-    cur = opt_state.hyperparams["momentum"]
-    opt_state.hyperparams["momentum"] = jnp.asarray(
+    cur = hp.hyperparams["momentum"]
+    hp.hyperparams["momentum"] = jnp.asarray(
         momentum, dtype=getattr(cur, "dtype", jnp.float32)
     )
     return opt_state

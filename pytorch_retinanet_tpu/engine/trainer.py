@@ -78,6 +78,7 @@ class Trainer:
         val_check_interval: int = 1,
         log_every_n_steps: int = 50,
         gradient_clip_val: Optional[float] = None,
+        accumulate_grad_batches: int = 1,
         warmup_steps: int = 500,
         warmup_factor: float = 0.001,
         profile_dir: Optional[str] = None,
@@ -99,6 +100,11 @@ class Trainer:
         self.resume_from_checkpoint = resume_from_checkpoint
         self.val_check_interval = val_check_interval
         self.gradient_clip_val = gradient_clip_val
+        # pl.Trainer(accumulate_grad_batches=N) parity: the optimizer applies
+        # once per N loader batches (mean of the window's gradients). Warmup
+        # and interval="step" schedulers count OPTIMIZER steps, like torch;
+        # `global_step`/`max_steps` keep counting loader batches.
+        self.accumulate_grad_batches = max(int(accumulate_grad_batches or 1), 1)
         self.warmup_steps = warmup_steps
         self.warmup_factor = warmup_factor
         self.logger_ = MetricLogger(print_freq=log_every_n_steps)
@@ -122,6 +128,13 @@ class Trainer:
         self._steps = None  # cached (train, eval, predict) — retracing is minutes
         self._steps_model: Optional[RetinaNetModel] = None
 
+    @property
+    def _opt_step(self) -> int:
+        """Optimizer-step counter: with gradient accumulation the optimizer
+        applies once per `accumulate_grad_batches` loader batches (Lightning's
+        global_step counts these; our `global_step` counts loader batches)."""
+        return self.global_step // self.accumulate_grad_batches
+
     # ------------------------------------------------------------------ #
     # Step builders
     # ------------------------------------------------------------------ #
@@ -140,7 +153,12 @@ class Trainer:
         num_classes = net.num_classes
         mutable_bn = not net.freeze_bn
         optimizer = self._optimizer
-        clip_val = self.gradient_clip_val
+        # When accumulating, the clip lives inside the wrapped optimizer (on
+        # the window-mean grads); clipping per micro-batch too would double-
+        # apply and diverge from Lightning's optimizer_step-time clipping.
+        clip_val = (
+            self.gradient_clip_val if self.accumulate_grad_batches == 1 else None
+        )
 
         def variables_of(state: TrainState):
             v = {"params": state.params}
@@ -399,6 +417,18 @@ class Trainer:
         self._optimizer, self._scheduler, self._sched_meta = (
             model.configure_optimizers()
         )
+        if self.accumulate_grad_batches > 1:
+            from .optim import wrap_accumulation
+
+            # Clip moves INSIDE the accumulating wrapper so it applies to the
+            # window-mean gradients at optimizer-step time (Lightning clips in
+            # optimizer_step, not per micro-batch); _build_steps skips its
+            # per-batch clip when accumulating.
+            self._optimizer = wrap_accumulation(
+                self._optimizer,
+                self.accumulate_grad_batches,
+                clip_norm=self.gradient_clip_val,
+            )
         self._steps = None  # steps close over the (re)built optimizer
         train_step, eval_step, _ = self._get_steps(model)
         self.state = self._init_state(model)
@@ -438,6 +468,9 @@ class Trainer:
         total_steps = self.max_epochs * max(len(train_loader), 1)
         if self.max_steps:
             total_steps = min(total_steps, self.max_steps)
+        # Warmup counts OPTIMIZER steps; an accumulation window of N batches
+        # contributes one.
+        total_steps = max(total_steps // self.accumulate_grad_batches, 1)
         self._warmup_eff = min(self.warmup_steps, max(total_steps // 5, 1)) if self.warmup_steps else 0
         if len(train_loader) == 0:
             raise ValueError(
@@ -486,7 +519,11 @@ class Trainer:
                     self._check_finite(host)
                     self.logger_.update(**host)
                     metrics.update({f"train_{k}": v for k, v in host.items()})
-                if interval == "step" and self.global_step % frequency == 0:
+                if (
+                    interval == "step"
+                    and self.global_step % self.accumulate_grad_batches == 0
+                    and self._opt_step % frequency == 0
+                ):
                     self._step_scheduler(None)
                 if self.max_steps and self.global_step >= self.max_steps:
                     self.should_stop = True
@@ -545,7 +582,7 @@ class Trainer:
         and the loss NaNs within tens of steps."""
         from .optim import warmup_scale
 
-        scale = warmup_scale(self.global_step, self._warmup_eff, self.warmup_factor)
+        scale = warmup_scale(self._opt_step, self._warmup_eff, self.warmup_factor)
         lr = self._sched_lr * scale
         if lr != self.current_lr:
             self.state = self.state.replace(
@@ -557,7 +594,7 @@ class Trainer:
         from .optim import set_momentum, warmup_scale
 
         self._sched_lr = self._scheduler.step(monitor_value)
-        scale = warmup_scale(self.global_step, self._warmup_eff, self.warmup_factor)
+        scale = warmup_scale(self._opt_step, self._warmup_eff, self.warmup_factor)
         lr = self._sched_lr * scale
         opt_state = set_learning_rate(self.state.opt_state, lr)
         # Momentum-cycling schedulers (OneCycleLR with cycle_momentum, torch
@@ -716,5 +753,16 @@ class Trainer:
             self._optimizer, self._scheduler, self._sched_meta = (
                 model.configure_optimizers()
             )
+            if self.accumulate_grad_batches > 1:
+                from .optim import wrap_accumulation
+
+                # Same wrapping as fit(): the opt_state layout must match so
+                # a checkpoint saved mid-accumulation restores into
+                # validate/test/predict-only sessions.
+                self._optimizer = wrap_accumulation(
+                    self._optimizer,
+                    self.accumulate_grad_batches,
+                    clip_norm=self.gradient_clip_val,
+                )
         if self.state is None:
             self.state = self._init_state(model)

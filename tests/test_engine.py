@@ -335,3 +335,37 @@ class TestCocoKind:
         assert np.isfinite(metrics["train_loss"])
         results = trainer.test(model)
         assert "AP" in results[0]
+
+
+class TestGradAccumulationTrainer:
+    def test_accumulate_grad_batches_fit(self, conf):
+        """pl.Trainer(accumulate_grad_batches=2) parity: one optimizer step
+        per two loader batches, scheduler/warmup in optimizer steps, and the
+        clip riding the window-mean grads (optim.wrap_accumulation)."""
+        import jax
+
+        model = RetinaNetModel(conf)
+        trainer = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            accumulate_grad_batches=2, gradient_clip_val=10.0,
+        )
+        init = jax.tree_util.tree_map(
+            np.asarray, model.net.variables["params"]
+        )
+        metrics = trainer.fit(model)
+        assert np.isfinite(metrics["train_loss"])
+        # 8 imgs / bs 2 = 4 loader batches = 2 optimizer steps.
+        assert trainer.global_step == 4
+        assert trainer._opt_step == 2
+        # StepLR(step_size=1, gamma=0.5) stepped once at epoch end.
+        assert trainer.current_lr == pytest.approx(0.005 * 0.5)
+        # The optimizer actually applied (params moved from init).
+        trained = model.net.variables["params"]
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(init),
+                jax.tree_util.tree_leaves(trained),
+            )
+        )
+        assert moved

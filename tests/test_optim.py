@@ -379,3 +379,92 @@ class TestReferenceConfigCompat:
             conf.scheduler.params,
         )
         assert opt is not None and sched is not None
+
+
+class TestGradAccumulation:
+    """wrap_accumulation = pl.Trainer(accumulate_grad_batches=N) parity."""
+
+    def _sgd(self):
+        return build_optimizer(
+            "torch.optim.SGD", {"lr": 0.1, "momentum": 0.9}
+        )
+
+    def test_window_mean_matches_single_update(self):
+        import jax.numpy as jnp
+        import optax
+
+        from pytorch_retinanet_tpu.engine.optim import wrap_accumulation
+
+        params = {"w": jnp.arange(4.0)}
+        g1 = {"w": jnp.array([1.0, 2.0, 3.0, 4.0])}
+        g2 = {"w": jnp.array([3.0, 0.0, 1.0, -2.0])}
+
+        acc = wrap_accumulation(self._sgd(), 2)
+        s = acc.init(params)
+        u1, s = acc.update(g1, s, params)
+        p_mid = optax.apply_updates(params, u1)
+        # First micro-batch of the window: no optimizer step yet.
+        np.testing.assert_allclose(np.asarray(p_mid["w"]), np.asarray(params["w"]))
+        u2, s = acc.update(g2, s, p_mid)
+        p_end = optax.apply_updates(p_mid, u2)
+
+        # Reference: ONE plain-SGD update with the window-mean gradient
+        # (Lightning scales the loss by 1/N while accumulating).
+        base = self._sgd()
+        gm = {"w": (g1["w"] + g2["w"]) / 2.0}
+        s0 = base.init(params)
+        um, _ = base.update(gm, s0, params)
+        p_ref = optax.apply_updates(params, um)
+        np.testing.assert_allclose(
+            np.asarray(p_end["w"]), np.asarray(p_ref["w"]), rtol=1e-6
+        )
+
+    def test_clip_applies_to_window_mean_not_microbatches(self):
+        import jax.numpy as jnp
+        import optax
+
+        from pytorch_retinanet_tpu.engine.optim import wrap_accumulation
+
+        params = {"w": jnp.zeros(2)}
+        # Two huge, nearly-cancelling micro-batch gradients: the window mean
+        # is tiny, so a clip on the MEAN is a no-op, while per-micro-batch
+        # clipping would have rescaled each by ~1e-4 first.
+        g1 = {"w": jnp.array([1e4, 0.0])}
+        g2 = {"w": jnp.array([-1e4, 2.0])}
+        acc = wrap_accumulation(self._sgd(), 2, clip_norm=5.0)
+        s = acc.init(params)
+        u1, s = acc.update(g1, s, params)
+        p = optax.apply_updates(params, u1)
+        u2, s = acc.update(g2, s, p)
+        p = optax.apply_updates(p, u2)
+
+        base = self._sgd()
+        gm = {"w": (g1["w"] + g2["w"]) / 2.0}  # norm 1.0 < clip 5.0
+        s0 = base.init(params)
+        um, _ = base.update(gm, s0, params)
+        p_ref = optax.apply_updates(params, um)
+        np.testing.assert_allclose(
+            np.asarray(p["w"]), np.asarray(p_ref["w"]), rtol=1e-6
+        )
+
+    def test_lr_and_momentum_write_through_wrapper(self):
+        import jax.numpy as jnp
+
+        from pytorch_retinanet_tpu.engine.optim import (
+            set_momentum,
+            wrap_accumulation,
+        )
+
+        params = {"w": jnp.ones(3)}
+        acc = wrap_accumulation(self._sgd(), 4, clip_norm=10.0)
+        s = acc.init(params)
+        s = set_learning_rate(s, 0.42)
+        assert current_learning_rate(s) == pytest.approx(0.42)
+        s = set_momentum(s, 0.55)  # must not raise through the wrappers
+        assert current_learning_rate(s) == pytest.approx(0.42)
+
+    def test_window_of_one_rejected(self):
+        from pytorch_retinanet_tpu.engine.optim import wrap_accumulation
+
+        with pytest.raises(ValueError):
+            wrap_accumulation(self._sgd(), 1)
