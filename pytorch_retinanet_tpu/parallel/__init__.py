@@ -15,9 +15,11 @@ TPU-native replacement for the reference's torch.distributed/NCCL layer
   detection_utils.py:300-327, env:// + SLURM) maps onto
   ``jax.distributed.initialize``, which reads the same style of cluster env.
 
-The mesh axis layout is extensible (``("data",)`` today; model axes can be
-added without changing call sites) — the reference is data-parallel-only
-(SURVEY.md §2.3), so parity needs exactly this.
+The mesh axis layout is extensible: training uses ``("data",)`` (the
+reference is data-parallel-only, SURVEY.md §2.3, so parity needs exactly
+this), and :mod:`.sharding` adds the beyond-parity inference axes — a
+``(data, spatial, model)`` mesh with GSPMD spatial partitioning of the image
+height and tensor-parallel conv channels.
 """
 
 from __future__ import annotations
@@ -28,6 +30,13 @@ from typing import Any, List, Optional, Sequence
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import (  # noqa: F401  (re-exported surface)
+    InferenceMeshPlan,
+    build_sharded_forward,
+    make_inference_mesh,
+    shard_variables,
+)
 
 
 def init_distributed(

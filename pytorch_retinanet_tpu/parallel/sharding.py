@@ -1,0 +1,232 @@
+"""Spatial + tensor-parallel inference sharding over a named device mesh.
+
+The reference is single-device-first: its NCCL layer never shards compute
+(SURVEY.md §2.3 — `utils/coco/detection_utils.py:300-327` is vestigial), so
+data parallelism (`parallel.make_mesh`) already exceeds parity. This module
+adds the two model-sharding axes that matter for a conv detector on TPU pods,
+following the scaling-book recipe — pick a mesh, annotate shardings, let
+XLA's SPMD partitioner insert the collectives, profile:
+
+* **spatial partitioning** (mesh axis ``"spatial"``): the image/feature-map
+  height dimension is sharded across devices; GSPMD inserts the conv halo
+  exchanges (``collective-permute`` of boundary rows over ICI). One image's
+  conv FLOPs spread over the axis — the single-image serving-latency lever,
+  the detector analog of sequence parallelism (SURVEY.md §5.7).
+* **tensor parallelism** (mesh axis ``"model"``): conv kernels shard their
+  output-channel dimension (with their bias / frozen-BN vectors co-sharded);
+  GSPMD propagates the channel sharding through the elementwise BN/ReLU
+  chain and re-shards at the next conv — Megatron-style column parallelism
+  for convolutions, without hand-written collectives.
+
+Both are inference-path features: training scales data-parallel (the model is
+~38 M params — replication is free; the batch is the big axis). Correctness
+is validated against the single-device forward on the virtual CPU mesh
+(tests/test_sharding.py); single-chip hardware here means on-TPU speedups are
+design-validated, not benchmarked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "InferenceMeshPlan",
+    "make_inference_mesh",
+    "shard_variables",
+    "build_sharded_forward",
+]
+
+# 1-D per-channel parameter leaves that co-shard with their conv kernel's
+# output-channel dimension under tensor parallelism.
+_CHANNEL_VECTOR_NAMES = ("bias", "scale", "mean", "var")
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceMeshPlan:
+    """A (data, spatial, model) mesh plus the canonical inference shardings."""
+
+    mesh: Mesh
+
+    @property
+    def image_sharding(self) -> NamedSharding:
+        """NHWC image batches: batch over 'data', height over 'spatial'."""
+        return NamedSharding(self.mesh, P("data", "spatial", None, None))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def axis_size(self, name: str) -> int:
+        return self.mesh.shape[name]
+
+
+def make_inference_mesh(
+    devices: Optional[Sequence[Any]] = None,
+    *,
+    data: int = 1,
+    spatial: int = 1,
+    model: int = 1,
+) -> InferenceMeshPlan:
+    """Build a named ``(data, spatial, model)`` mesh over the first
+    ``data*spatial*model`` devices.
+
+    Axis order is data-outermost so the batch axis lands on the slowest
+    mesh dimension (DCN-friendly when multi-slice) and the model/spatial
+    collectives ride neighboring ICI links. Size-1 axes are kept in the
+    mesh so every PartitionSpec in this module is layout-independent.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    need = data * spatial * model
+    if devs.size < need:
+        raise ValueError(
+            f"mesh {data}x{spatial}x{model} needs {need} devices, "
+            f"have {devs.size}"
+        )
+    mesh = Mesh(
+        devs.flatten()[:need].reshape(data, spatial, model),
+        ("data", "spatial", "model"),
+    )
+    return InferenceMeshPlan(mesh)
+
+
+def shard_variables(
+    variables: Any, mesh: Mesh, tp_axis: str = "model"
+) -> Any:
+    """A NamedSharding pytree for detector variables under tensor parallelism.
+
+    Rule: 4-D conv kernels ``[kh, kw, cin, cout]`` shard ``cout`` over
+    ``tp_axis`` when divisible by the axis size; their sibling 1-D
+    per-channel vectors (bias and frozen-BN scale/bias/mean/var) co-shard;
+    everything else (the head predictor whose ``A*(K)`` channels rarely
+    divide, embeddings, scalars) replicates. GSPMD propagates the rest —
+    no per-layer annotations needed.
+    """
+    size = mesh.shape[tp_axis]
+
+    def spec(path, leaf) -> P:
+        if size <= 1:
+            return P()
+        name = ""
+        if path:
+            last = path[-1]
+            name = getattr(last, "key", getattr(last, "name", ""))
+        ndim = getattr(leaf, "ndim", 0)
+        shape = getattr(leaf, "shape", ())
+        if name == "kernel" and ndim == 4 and shape[-1] % size == 0:
+            return P(None, None, None, tp_axis)
+        if (
+            name in _CHANNEL_VECTOR_NAMES
+            and ndim == 1
+            and shape
+            and shape[0] % size == 0
+        ):
+            return P(tp_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p, x)), variables
+    )
+
+
+# The deepest backbone stride: the spatial axis must keep >= 1 feature row
+# per device at C5, or GSPMD's halo/padding handling of the sub-row shards
+# degrades (measured on the virtual mesh: sub-row C5 shards corrupt every
+# pyramid level through the FPN top-down path).
+_DEEPEST_STRIDE = 32
+
+
+def build_sharded_forward(
+    module,
+    variables: Any,
+    plan: InferenceMeshPlan,
+    *,
+    tensor_parallel: bool = True,
+):
+    """A jitted, mesh-sharded detector forward (per-level head outputs).
+
+    Places ``variables`` on the mesh (TP-sharded kernels when
+    ``tensor_parallel`` and the 'model' axis is >1, else replicated) and
+    returns ``(forward, place_images)``: call ``place_images(images)`` to
+    device_put an NHWC batch with the batch axis over 'data' and height over
+    'spatial', then ``forward(images)`` → per-level ``(cls, box)`` outputs.
+    XLA GSPMD inserts the halo exchanges / channel collectives; there are no
+    hand-written collectives to keep in sync with the model.
+
+    Spatial partitioning covers the backbone trunk — where H is large and
+    ~75% of the FLOPs live (docs/ROOFLINE.md) — and the C3/C4/C5 features
+    then gather H (``with_sharding_constraint``) so the small FPN/P6/P7/head
+    maps compute with full rows: sub-row shards at the deep strides are where
+    GSPMD's conv partitioning loses exactness (see ``place_images``'s guard).
+
+    Uses the plain module forward, not the fused-Pallas-stem path —
+    ``pallas_call`` has no SPMD partitioning rule (see
+    models.retinanet.apply_detector's single-device gate).
+    """
+    from ..models.backbone import ResNetBackbone
+
+    if tensor_parallel and plan.axis_size("model") > 1:
+        shardings = shard_variables(variables, plan.mesh)
+    else:
+        shardings = jax.tree_util.tree_map(
+            lambda _: plan.replicated, variables
+        )
+    placed = jax.device_put(variables, shardings)
+    spatial = plan.axis_size("spatial")
+
+    backbone = ResNetBackbone(
+        kind=module.backbone_kind,
+        freeze_bn=module.freeze_bn,
+        remat=module.remat,
+        stem_s2d=module.stem_s2d,
+        dtype=module.dtype,
+        param_dtype=module.param_dtype,
+    )
+    backbone_vars = {"params": placed["params"]["backbone"]}
+    if "batch_stats" in placed:
+        backbone_vars["batch_stats"] = placed["batch_stats"]["backbone"]
+
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(module.mean, jnp.float32)
+    std = jnp.asarray(module.std, jnp.float32)
+    feats_gathered = NamedSharding(plan.mesh, P("data"))
+
+    @jax.jit
+    def forward(images):
+        x = (images.astype(jnp.float32) - mean) / std
+        feats = backbone.apply(backbone_vars, x, False)
+        if spatial > 1:
+            # Gather the height shards: C3/C4/C5 rows are few and the
+            # FPN/head FLOPs small — full rows beat halo exchanges there.
+            feats = jax.lax.with_sharding_constraint(
+                feats, jax.tree_util.tree_map(lambda _: feats_gathered, feats)
+            )
+        return module.apply(
+            placed, images, False, return_levels=True, feats_in=feats
+        )
+
+    def place_images(images):
+        h = images.shape[1]
+        if spatial > 1 and h // _DEEPEST_STRIDE < spatial:
+            raise ValueError(
+                f"spatial axis {spatial} too large for H={h}: C5 has "
+                f"{h // _DEEPEST_STRIDE} rows and each spatial shard needs "
+                f">= 1 (use spatial <= H/{_DEEPEST_STRIDE})"
+            )
+        if images.shape[0] % plan.axis_size("data"):
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by data axis "
+                f"{plan.axis_size('data')}"
+            )
+        return jax.device_put(images, plan.image_sharding)
+
+    return forward, place_images
