@@ -144,13 +144,17 @@ def wrap_accumulation(
     window closes, not per micro-batch, so the clip must live INSIDE the
     accumulating wrapper. Built on :class:`optax.MultiSteps`; the optimizer
     state gains one params-sized gradient buffer, so checkpoints are not
-    interchangeable between different accumulation settings.
+    interchangeable between different accumulation settings. The chain is
+    built UNCONDITIONALLY (``optax.identity`` when ``clip_norm`` is unset,
+    same ``EmptyState`` as the clip) so toggling ``gradient_clip_val``
+    between save and resume cannot change the opt_state pytree structure.
     """
     if every <= 1:
         raise ValueError(f"accumulation window must be >= 2, got {every}")
-    if clip_norm:
-        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
-    ms = optax.MultiSteps(tx, every_k_schedule=every)
+    clip = (
+        optax.clip_by_global_norm(clip_norm) if clip_norm else optax.identity()
+    )
+    ms = optax.MultiSteps(optax.chain(clip, tx), every_k_schedule=every)
     return optax.GradientTransformation(ms.init, ms.update)
 
 

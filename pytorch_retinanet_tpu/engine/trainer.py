@@ -101,9 +101,11 @@ class Trainer:
         self.val_check_interval = val_check_interval
         self.gradient_clip_val = gradient_clip_val
         # pl.Trainer(accumulate_grad_batches=N) parity: the optimizer applies
-        # once per N loader batches (mean of the window's gradients). Warmup
-        # and interval="step" schedulers count OPTIMIZER steps, like torch;
-        # `global_step`/`max_steps` keep counting loader batches.
+        # once per N loader batches (mean of the window's gradients). Warmup,
+        # interval="step" schedulers AND `max_steps` count OPTIMIZER steps,
+        # like Lightning; `global_step` counts loader batches. A window left
+        # incomplete at epoch end is flushed (one optimizer step on the
+        # partial window's mean — Lightning steps on each epoch's last batch).
         self.accumulate_grad_batches = max(int(accumulate_grad_batches or 1), 1)
         self.warmup_steps = warmup_steps
         self.warmup_factor = warmup_factor
@@ -127,13 +129,33 @@ class Trainer:
         self._sched_meta: Dict[str, Any] = {}
         self._steps = None  # cached (train, eval, predict) — retracing is minutes
         self._steps_model: Optional[RetinaNetModel] = None
+        self._flush_fn = None  # cached jitted zero-grad step, keyed on optimizer
+        self._flush_opt = None
 
     @property
     def _opt_step(self) -> int:
         """Optimizer-step counter: with gradient accumulation the optimizer
         applies once per `accumulate_grad_batches` loader batches (Lightning's
-        global_step counts these; our `global_step` counts loader batches)."""
+        global_step counts these; our `global_step` counts loader batches).
+        `_flush_accumulation` rounds `global_step` up to the window boundary
+        when an epoch ends mid-window, keeping this counter exact."""
         return self.global_step // self.accumulate_grad_batches
+
+    def _wrap_optimizer(self, tx):
+        """Apply the accumulation wrapper (single source of truth — fit and
+        validate/test/predict-only sessions must produce the same opt_state
+        pytree or a checkpoint saved by one cannot restore into the other)."""
+        if self.accumulate_grad_batches <= 1:
+            return tx
+        from .optim import wrap_accumulation
+
+        # Clip moves INSIDE the accumulating wrapper so it applies to the
+        # window-mean gradients at optimizer-step time (Lightning clips in
+        # optimizer_step, not per micro-batch); _build_steps skips its
+        # per-batch clip when accumulating.
+        return wrap_accumulation(
+            tx, self.accumulate_grad_batches, clip_norm=self.gradient_clip_val
+        )
 
     # ------------------------------------------------------------------ #
     # Step builders
@@ -166,18 +188,40 @@ class Trainer:
                 v["batch_stats"] = state.batch_stats
             return v
 
-        def forward_levels(variables, images):
-            """Frozen-BN train/eval forward (per-level head outputs).
+        spatial = self.mesh.spatial_size
+        if spatial > 1 and mutable_bn:
+            raise ValueError(
+                "spatial-parallel training requires freeze_bn=True (the "
+                "default, and the reference's): live batch statistics would "
+                "need axis-aware cross-shard reduction. Build the model with "
+                "freeze_bn=True or use a data-only mesh."
+            )
+        if spatial > 1:
+            # Spatial-parallel forward (mesh axis 'spatial' = image height):
+            # the backbone runs on height-sharded images — GSPMD inserts the
+            # conv halo exchanges over ICI — and C3/C4/C5 gather their height
+            # before the small FPN/head/loss maps (sub-row C5 shards are the
+            # one regime GSPMD gets wrong; shard_batch guards it). Gradients
+            # flow through with_sharding_constraint (identity + resharding),
+            # so the backward pass is spatially sharded too.
+            from ..parallel.sharding import make_split_forward
 
-            Deliberately NOT using the fused Pallas stem here: freeze_bn
-            training has identical stem semantics (running BN stats) and the
-            kernel's custom VJP exists for exactly this, but the
-            stem-kernel-under-grad train program hit a remote-compile
-            pathology on the bench chip (>30 min, vs ~2 min for the same
-            kernel in the inference program) — measured r3; revisit when the
-            toolchain moves. predict_step keeps the full kernel-fused path
-            (models.retinanet.apply_detector)."""
-            return module.apply(variables, images, False, return_levels=True)
+            forward_levels = make_split_forward(module, self.mesh.mesh)
+
+        else:
+
+            def forward_levels(variables, images):
+                """Frozen-BN train/eval forward (per-level head outputs).
+
+                Deliberately NOT using the fused Pallas stem here: freeze_bn
+                training has identical stem semantics (running BN stats) and
+                the kernel's custom VJP exists for exactly this, but the
+                stem-kernel-under-grad train program hit a remote-compile
+                pathology on the bench chip (>30 min, vs ~2 min for the same
+                kernel in the inference program) — measured r3; revisit when
+                the toolchain moves. predict_step keeps the full kernel-fused
+                path (models.retinanet.apply_detector)."""
+                return module.apply(variables, images, False, return_levels=True)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, boxes, labels, valid):
@@ -248,9 +292,17 @@ class Trainer:
         def predict_step(state: TrainState, images, image_sizes):
             from ..models.retinanet import apply_detector
 
-            cls_levels, box_levels = apply_detector(
-                module, variables_of(state), images, return_levels=True
-            )
+            if spatial > 1:
+                # Height-sharded images: the split forward gathers features
+                # before the FPN/head so postprocess sees full rows (the
+                # fused Pallas stem is multi-device-gated off anyway).
+                cls_levels, box_levels = forward_levels(
+                    variables_of(state), images
+                )
+            else:
+                cls_levels, box_levels = apply_detector(
+                    module, variables_of(state), images, return_levels=True
+                )
             anchors_levels = [
                 jnp.asarray(a)
                 for a in generate_anchors_per_level(tuple(images.shape[1:3]))
@@ -369,6 +421,17 @@ class Trainer:
                     f"{local} local devices in multi-process runs"
                 )
             return
+        if self.mesh.spatial_size > 1:
+            # An explicit (data, spatial) training mesh is never auto-shrunk —
+            # the caller chose the factorization; a batch that doesn't divide
+            # the data axis is a config error.
+            if batch_size % self.mesh.data_size != 0:
+                raise ValueError(
+                    f"train batch {batch_size} must divide the mesh's data "
+                    f"axis ({self.mesh.data_size}) when training spatially "
+                    f"sharded (mesh {dict(self.mesh.mesh.shape)})"
+                )
+            return
         n = len(self._all_devices)
         while batch_size % n != 0:
             n -= 1
@@ -391,7 +454,7 @@ class Trainer:
         valid=False GT; image sizes are copied from the last real row so
         scale divisions stay safe."""
         b = batch["images"].shape[0]
-        mult = self.mesh.num_devices
+        mult = self.mesh.data_size  # batch rows shard over 'data' only
         target = -(-b // mult) * mult
         if target == b:
             return batch
@@ -417,18 +480,7 @@ class Trainer:
         self._optimizer, self._scheduler, self._sched_meta = (
             model.configure_optimizers()
         )
-        if self.accumulate_grad_batches > 1:
-            from .optim import wrap_accumulation
-
-            # Clip moves INSIDE the accumulating wrapper so it applies to the
-            # window-mean gradients at optimizer-step time (Lightning clips in
-            # optimizer_step, not per micro-batch); _build_steps skips its
-            # per-batch clip when accumulating.
-            self._optimizer = wrap_accumulation(
-                self._optimizer,
-                self.accumulate_grad_batches,
-                clip_norm=self.gradient_clip_val,
-            )
+        self._optimizer = self._wrap_optimizer(self._optimizer)
         self._steps = None  # steps close over the (re)built optimizer
         train_step, eval_step, _ = self._get_steps(model)
         self.state = self._init_state(model)
@@ -465,12 +517,14 @@ class Trainer:
         # Cap warmup at a fifth of the planned schedule so short runs still
         # reach full LR (torchvision similarly caps at one epoch's steps);
         # an explicit warmup_steps=0 disables warmup entirely.
-        total_steps = self.max_epochs * max(len(train_loader), 1)
+        # All in OPTIMIZER steps (an accumulation window of N batches
+        # contributes one); max_steps counts optimizer steps like Lightning.
+        total_steps = (
+            self.max_epochs * max(len(train_loader), 1)
+        ) // self.accumulate_grad_batches
         if self.max_steps:
             total_steps = min(total_steps, self.max_steps)
-        # Warmup counts OPTIMIZER steps; an accumulation window of N batches
-        # contributes one.
-        total_steps = max(total_steps // self.accumulate_grad_batches, 1)
+        total_steps = max(total_steps, 1)
         self._warmup_eff = min(self.warmup_steps, max(total_steps // 5, 1)) if self.warmup_steps else 0
         if len(train_loader) == 0:
             raise ValueError(
@@ -525,9 +579,12 @@ class Trainer:
                     and self._opt_step % frequency == 0
                 ):
                     self._step_scheduler(None)
-                if self.max_steps and self.global_step >= self.max_steps:
+                # Lightning's max_steps counts OPTIMIZER steps: under
+                # accumulation this can only trip at a window boundary.
+                if self.max_steps and self._opt_step >= self.max_steps:
                     self.should_stop = True
                     break
+            self._flush_accumulation(interval, frequency)
             if step_metrics is not None:  # epoch-end flush for callbacks
                 host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
                 self._check_finite(host)
@@ -589,6 +646,48 @@ class Trainer:
                 opt_state=set_learning_rate(self.state.opt_state, lr)
             )
             self.current_lr = lr
+
+    def _flush_accumulation(self, interval: str, frequency: int) -> None:
+        """Complete a partial accumulation window at epoch end.
+
+        Lightning steps the optimizer on each epoch's LAST batch even when the
+        window is incomplete; without this, the tail batches' gradients would
+        sit in the MultiSteps buffer and be discarded at the end of fit (and
+        windows would straddle epochs, mixing two LR regimes in one step).
+        Feeding zero gradients until the window closes makes MultiSteps fire
+        exactly one optimizer step on ``sum(real grads) / k`` — identical to
+        Lightning, which scales every micro-batch loss by ``1/k``.
+        """
+        k = self.accumulate_grad_batches
+        if k <= 1 or self.state is None:
+            return
+        mini = int(jax.device_get(self.state.opt_state.mini_step))
+        if mini == 0:
+            return
+        if self._flush_fn is None or self._flush_opt is not self._optimizer:
+            optimizer = self._optimizer
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def flush_step(state: TrainState) -> TrainState:
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                updates, new_opt = optimizer.update(
+                    zeros, state.opt_state, state.params
+                )
+                return state.replace(
+                    params=optax.apply_updates(state.params, updates),
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                )
+
+            self._flush_fn, self._flush_opt = flush_step, optimizer
+        for _ in range(k - mini):
+            self.state = self._flush_fn(self.state)
+        # The flush consumed the rest of the window: advance global_step to
+        # the boundary so _opt_step counts the step that just fired, then give
+        # interval="step" schedulers their boundary tick.
+        self.global_step += k - mini
+        if interval == "step" and self._opt_step % frequency == 0:
+            self._step_scheduler(None)
 
     def _step_scheduler(self, monitor_value: Optional[float]) -> None:
         from .optim import set_momentum, warmup_scale
@@ -753,16 +852,6 @@ class Trainer:
             self._optimizer, self._scheduler, self._sched_meta = (
                 model.configure_optimizers()
             )
-            if self.accumulate_grad_batches > 1:
-                from .optim import wrap_accumulation
-
-                # Same wrapping as fit(): the opt_state layout must match so
-                # a checkpoint saved mid-accumulation restores into
-                # validate/test/predict-only sessions.
-                self._optimizer = wrap_accumulation(
-                    self._optimizer,
-                    self.accumulate_grad_batches,
-                    clip_norm=self.gradient_clip_val,
-                )
+            self._optimizer = self._wrap_optimizer(self._optimizer)
         if self.state is None:
             self.state = self._init_state(model)

@@ -73,7 +73,15 @@ def is_main_process() -> bool:
 
 @dataclasses.dataclass(frozen=True)
 class MeshPlan:
-    """A device mesh plus the canonical shardings the engine uses."""
+    """A device mesh plus the canonical shardings the engine uses.
+
+    1-D ``("data",)`` for plain data parallelism (:func:`make_mesh`), or 2-D
+    ``("data", "spatial")`` for spatial-parallel TRAINING
+    (:func:`make_train_mesh`): image height sharded across 'spatial', GSPMD
+    conv halo exchanges through the backbone, features gathered before the
+    FPN/head/loss (engine.trainer picks the split forward when
+    ``spatial_size > 1``).
+    """
 
     mesh: Mesh
 
@@ -81,6 +89,13 @@ class MeshPlan:
     def data_sharding(self) -> NamedSharding:
         """Batch arrays: sharded on the leading (batch) axis over 'data'."""
         return NamedSharding(self.mesh, P("data"))
+
+    @property
+    def image_sharding(self) -> NamedSharding:
+        """NHWC images: batch over 'data', height over 'spatial' (if any)."""
+        if self.spatial_size > 1:
+            return NamedSharding(self.mesh, P("data", "spatial"))
+        return self.data_sharding
 
     @property
     def replicated(self) -> NamedSharding:
@@ -91,23 +106,50 @@ class MeshPlan:
     def num_devices(self) -> int:
         return self.mesh.devices.size
 
+    @property
+    def data_size(self) -> int:
+        """Devices along 'data' — the batch divisibility requirement."""
+        return self.mesh.shape.get("data", self.num_devices)
+
+    @property
+    def spatial_size(self) -> int:
+        return self.mesh.shape.get("spatial", 1)
+
     def shard_batch(self, batch):
-        """Device-put a host batch dict with the batch axis sharded over 'data'.
+        """Device-put a host batch dict with the batch axis sharded over
+        'data' ('images' additionally shard height over 'spatial' when the
+        mesh has that axis).
 
         Multi-process: each host passes its PER-HOST batch and the global
         array is assembled across hosts (global batch = local × hosts) via
         ``jax.make_array_from_process_local_data`` — the ICI/DCN analog of
         the reference's DDP per-rank batches."""
+
+        def sharding_for(key, x) -> NamedSharding:
+            if key != "images" or self.spatial_size <= 1:
+                return self.data_sharding
+            # >= 1 C5 row per spatial shard, or GSPMD's sub-row conv
+            # partitioning corrupts the pyramid (parallel/sharding.py's
+            # _DEEPEST_STRIDE note; uneven divisions are measured exact).
+            rows = int(np.asarray(x).shape[1]) // 32
+            if rows < self.spatial_size:
+                raise ValueError(
+                    f"spatial axis {self.spatial_size} too large for image "
+                    f"height {np.asarray(x).shape[1]}: C5 has {rows} rows and "
+                    "each spatial shard needs >= 1"
+                )
+            return self.image_sharding
+
         if jax.process_count() > 1:
-            return jax.tree_util.tree_map(
-                lambda x: jax.make_array_from_process_local_data(
-                    self.data_sharding, np.asarray(x)
-                ),
-                batch,
-            )
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self.data_sharding), batch
-        )
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding_for(k, v), np.asarray(v)
+                )
+                for k, v in batch.items()
+            }
+        return {
+            k: jax.device_put(v, sharding_for(k, v)) for k, v in batch.items()
+        }
 
 
 def make_mesh(
@@ -116,6 +158,38 @@ def make_mesh(
     """Build a 1-D data-parallel mesh over all local+addressable devices."""
     devs = np.asarray(devices if devices is not None else jax.devices())
     return MeshPlan(Mesh(devs.reshape(-1), (axis_name,)))
+
+
+def make_train_mesh(
+    devices: Optional[Sequence[Any]] = None,
+    *,
+    spatial: int = 1,
+    data: Optional[int] = None,
+) -> MeshPlan:
+    """A ``(data, spatial)`` training mesh: batch over 'data', image height
+    over 'spatial'.
+
+    Spatial-parallel training spreads ONE image's backbone FLOPs and
+    activation memory over ``spatial`` devices (GSPMD halo exchanges over
+    ICI) — the lever for training at higher resolution per chip than fits
+    data-parallel, where remat is the only (measured slower,
+    docs/ROOFLINE_TRAIN.md) alternative. ``data`` defaults to the remaining
+    devices. Requires ``freeze_bn`` training (the default, and the
+    reference's: batch statistics never update) — the Trainer enforces this.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if spatial <= 1:
+        return make_mesh(devs)
+    if data is None:
+        data = devs.size // spatial
+    need = data * spatial
+    if data < 1 or devs.size < need:
+        raise ValueError(
+            f"mesh {data}x{spatial} needs {need} devices, have {devs.size}"
+        )
+    return MeshPlan(
+        Mesh(devs.flatten()[:need].reshape(data, spatial), ("data", "spatial"))
+    )
 
 
 def local_rows(tree: Any) -> Any:

@@ -18,11 +18,15 @@ XLA's SPMD partitioner insert the collectives, profile:
   chain and re-shards at the next conv — Megatron-style column parallelism
   for convolutions, without hand-written collectives.
 
-Both are inference-path features: training scales data-parallel (the model is
-~38 M params — replication is free; the batch is the big axis). Correctness
-is validated against the single-device forward on the virtual CPU mesh
-(tests/test_sharding.py); single-chip hardware here means on-TPU speedups are
-design-validated, not benchmarked.
+Tensor parallelism is inference-only (training scales data-parallel: the
+model is ~38 M params — replication is free; the batch is the big axis).
+Spatial partitioning also serves TRAINING via :func:`make_split_forward` +
+``parallel.make_train_mesh`` — the backward pass stays height-sharded
+through the backbone, spreading one image's activation memory over the axis
+(the measured-faster alternative to remat for high-resolution training,
+docs/ROOFLINE_TRAIN.md). Correctness is validated against the single-device
+forward on the virtual CPU mesh (tests/test_sharding.py); single-chip
+hardware here means on-TPU speedups are design-validated, not benchmarked.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "InferenceMeshPlan",
     "make_inference_mesh",
+    "make_split_forward",
     "shard_variables",
     "build_sharded_forward",
 ]
@@ -140,8 +145,59 @@ def shard_variables(
 # The deepest backbone stride: the spatial axis must keep >= 1 feature row
 # per device at C5, or GSPMD's halo/padding handling of the sub-row shards
 # degrades (measured on the virtual mesh: sub-row C5 shards corrupt every
-# pyramid level through the FPN top-down path).
+# pyramid level through the FPN top-down path). UNEVEN divisions are fine:
+# C5 rows that don't divide the axis — including a trailing device whose
+# shard is entirely GSPMD padding, e.g. 5 rows over spatial=4 = (2,2,1,0) —
+# measured exact to 2e-6 vs single-device (tests/test_sharding.py's
+# test_spatial_uneven_and_empty_shards); only rows < spatial corrupts.
 _DEEPEST_STRIDE = 32
+
+
+def make_split_forward(module, mesh: Mesh, *, gather_spec: Optional[P] = P("data")):
+    """The spatial-partitioning split forward, shared by every spatial
+    caller (:func:`build_sharded_forward`, the Trainer's spatial train path,
+    the driver dry run): run the backbone on height-sharded images — GSPMD
+    inserts the conv halo exchanges — then constrain C3/C4/C5 to
+    ``gather_spec`` (height gathered; ``None`` skips the constraint) before
+    the small FPN/head maps, where full rows beat halo exchanges and sub-row
+    C5 shards are the one regime GSPMD gets wrong (see ``_DEEPEST_STRIDE``).
+
+    Returns ``forward(variables, images, return_levels=True)``. Under
+    ``jax.grad`` the constraint is identity + resharding, so the backward
+    pass stays spatially sharded through the backbone — this is the
+    spatial-parallel TRAINING forward too (``parallel.make_train_mesh``).
+    """
+    import jax.numpy as jnp
+
+    from ..models.backbone import ResNetBackbone
+
+    backbone = ResNetBackbone(
+        kind=module.backbone_kind,
+        freeze_bn=module.freeze_bn,
+        remat=module.remat,
+        stem_s2d=module.stem_s2d,
+        dtype=module.dtype,
+        param_dtype=module.param_dtype,
+    )
+    gathered = None if gather_spec is None else NamedSharding(mesh, gather_spec)
+    mean = jnp.asarray(module.mean, jnp.float32)
+    std = jnp.asarray(module.std, jnp.float32)
+
+    def forward(variables, images, return_levels: bool = True):
+        x = (images.astype(jnp.float32) - mean) / std
+        bvars = {"params": variables["params"]["backbone"]}
+        if "batch_stats" in variables:
+            bvars["batch_stats"] = variables["batch_stats"]["backbone"]
+        feats = backbone.apply(bvars, x, False)
+        if gathered is not None:
+            feats = jax.lax.with_sharding_constraint(
+                feats, jax.tree_util.tree_map(lambda _: gathered, feats)
+            )
+        return module.apply(
+            variables, images, False, return_levels, feats_in=feats
+        )
+
+    return forward
 
 
 def build_sharded_forward(
@@ -171,8 +227,6 @@ def build_sharded_forward(
     ``pallas_call`` has no SPMD partitioning rule (see
     models.retinanet.apply_detector's single-device gate).
     """
-    from ..models.backbone import ResNetBackbone
-
     if tensor_parallel and plan.axis_size("model") > 1:
         shardings = shard_variables(variables, plan.mesh)
     else:
@@ -182,37 +236,15 @@ def build_sharded_forward(
     placed = jax.device_put(variables, shardings)
     spatial = plan.axis_size("spatial")
 
-    backbone = ResNetBackbone(
-        kind=module.backbone_kind,
-        freeze_bn=module.freeze_bn,
-        remat=module.remat,
-        stem_s2d=module.stem_s2d,
-        dtype=module.dtype,
-        param_dtype=module.param_dtype,
+    # Gather the height shards at C3/C4/C5: their rows are few and the
+    # FPN/head FLOPs small — full rows beat halo exchanges there.
+    split = make_split_forward(
+        module, plan.mesh, gather_spec=P("data") if spatial > 1 else None
     )
-    backbone_vars = {"params": placed["params"]["backbone"]}
-    if "batch_stats" in placed:
-        backbone_vars["batch_stats"] = placed["batch_stats"]["backbone"]
-
-    import jax.numpy as jnp
-
-    mean = jnp.asarray(module.mean, jnp.float32)
-    std = jnp.asarray(module.std, jnp.float32)
-    feats_gathered = NamedSharding(plan.mesh, P("data"))
 
     @jax.jit
     def forward(images):
-        x = (images.astype(jnp.float32) - mean) / std
-        feats = backbone.apply(backbone_vars, x, False)
-        if spatial > 1:
-            # Gather the height shards: C3/C4/C5 rows are few and the
-            # FPN/head FLOPs small — full rows beat halo exchanges there.
-            feats = jax.lax.with_sharding_constraint(
-                feats, jax.tree_util.tree_map(lambda _: feats_gathered, feats)
-            )
-        return module.apply(
-            placed, images, False, return_levels=True, feats_in=feats
-        )
+        return split(placed, images, return_levels=True)
 
     def place_images(images):
         h = images.shape[1]

@@ -369,3 +369,89 @@ class TestGradAccumulationTrainer:
             )
         )
         assert moved
+
+    def test_partial_window_flushed_at_epoch_end(self, conf):
+        """Lightning steps the optimizer on each epoch's last batch even when
+        the accumulation window is incomplete: 4 loader batches with k=3 must
+        produce TWO optimizer steps (one full window + a flushed partial),
+        not one, and leave no gradients buffered in MultiSteps."""
+        import jax
+
+        model = RetinaNetModel(conf)
+        trainer = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            accumulate_grad_batches=3,
+        )
+        trainer.fit(model)
+        # 4 loader batches -> window [1,2,3] steps, window [4] flushed;
+        # global_step advances to the window boundary (2 windows * 3).
+        assert trainer.global_step == 6
+        assert trainer._opt_step == 2
+        assert int(jax.device_get(trainer.state.opt_state.mini_step)) == 0
+
+    def test_spatial_mesh_fit_eval_predict(self, conf):
+        """Spatial-parallel TRAINING on a (data=2, spatial=2) mesh: the
+        backbone runs on height-sharded images (GSPMD halo exchanges), the
+        FPN/head/loss on gathered features. Validation losses must match a
+        plain data-parallel trainer on the same (untrained) weights, and
+        fit/test must run end-to-end."""
+        import jax
+
+        from pytorch_retinanet_tpu.parallel import make_mesh, make_train_mesh
+
+        if jax.device_count() < 4:
+            pytest.skip("needs 4 virtual devices")
+        model = RetinaNetModel(conf)
+        sp = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            mesh=make_train_mesh(jax.devices()[:4], spatial=2),
+        )
+        dp = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            mesh=make_mesh(jax.devices()[:2]),
+        )
+        # Same weights, deterministic eval: the split spatial forward must
+        # agree with the plain one (bf16 forward; halo-exchange reduction
+        # order is the only difference).
+        val_sp = sp.validate(model)
+        val_dp = dp.validate(model)
+        assert val_sp["val_loss"] == pytest.approx(
+            val_dp["val_loss"], rel=2e-2
+        )
+        metrics = sp.fit(model)
+        assert np.isfinite(metrics["train_loss"])
+        results = sp.test(model)
+        assert "AP" in results[0]
+
+    def test_spatial_mesh_rejects_mutable_bn(self, conf):
+        """Live-BN training can't shard spatially (batch statistics would
+        need cross-shard reduction): the Trainer must refuse loudly."""
+        import jax
+
+        from pytorch_retinanet_tpu.parallel import make_train_mesh
+
+        if jax.device_count() < 2:
+            pytest.skip("needs 2 virtual devices")
+        conf2 = OmegaConf.create(OmegaConf.to_container(conf))
+        conf2.model.freeze_bn = False
+        model = RetinaNetModel(conf2)
+        trainer = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            mesh=make_train_mesh(jax.devices()[:2], spatial=2, data=1),
+        )
+        with pytest.raises(ValueError, match="freeze_bn"):
+            trainer.fit(model)
+
+    def test_max_steps_counts_optimizer_steps(self, conf):
+        """Lightning's max_steps counts OPTIMIZER steps: with k=2,
+        max_steps=1 must consume two loader batches (one full window), not
+        stop mid-window after one."""
+        model = RetinaNetModel(conf)
+        trainer = Trainer(
+            max_epochs=1, checkpoint_dir=None, warmup_steps=0,
+            accumulate_grad_batches=2, max_steps=1,
+        )
+        trainer.fit(model)
+        assert trainer.global_step == 2
+        assert trainer._opt_step == 1
+        assert trainer.should_stop

@@ -468,3 +468,50 @@ class TestGradAccumulation:
 
         with pytest.raises(ValueError):
             wrap_accumulation(self._sgd(), 1)
+
+    def test_pytree_stable_across_clip_toggle(self):
+        """Toggling gradient_clip_val between save and resume must not change
+        the opt_state pytree structure (the clip slot is an EmptyState either
+        way), or orbax restores fail with a structure mismatch."""
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch_retinanet_tpu.engine.optim import wrap_accumulation
+
+        params = {"w": jnp.ones(3)}
+        s_clip = wrap_accumulation(self._sgd(), 2, clip_norm=10.0).init(params)
+        s_none = wrap_accumulation(self._sgd(), 2, clip_norm=None).init(params)
+        assert jax.tree_util.tree_structure(s_clip) == (
+            jax.tree_util.tree_structure(s_none)
+        )
+
+    def test_zero_grad_flush_completes_partial_window(self):
+        """Trainer._flush_accumulation's contract: feeding zeros for the
+        missing micro-batches makes MultiSteps fire one step on
+        sum(real grads)/k — exactly Lightning, which scales each micro-batch
+        loss by 1/k regardless of how many batches the window actually got."""
+        import jax.numpy as jnp
+        import optax
+
+        from pytorch_retinanet_tpu.engine.optim import wrap_accumulation
+
+        params = {"w": jnp.arange(3.0)}
+        g1 = {"w": jnp.array([3.0, -1.0, 2.0])}
+        g2 = {"w": jnp.array([0.0, 5.0, 1.0])}
+        zero = {"w": jnp.zeros(3)}
+
+        acc = wrap_accumulation(self._sgd(), 3)
+        s = acc.init(params)
+        p = params
+        for g in (g1, g2, zero):  # 2 real micro-batches, then the flush
+            u, s = acc.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        assert int(s.mini_step) == 0  # the window closed
+
+        base = self._sgd()
+        gm = {"w": (g1["w"] + g2["w"]) / 3.0}  # mean over the FULL window
+        um, _ = base.update(gm, base.init(params), params)
+        p_ref = optax.apply_updates(params, um)
+        np.testing.assert_allclose(
+            np.asarray(p["w"]), np.asarray(p_ref["w"]), rtol=1e-6
+        )

@@ -122,6 +122,31 @@ class TestShardedForwardParity:
         out = forward(place(images))
         _assert_levels_match(out, reference_levels)
 
+    def test_spatial_uneven_and_empty_shards(self, detector):
+        """UNEVEN C5 row divisions stay exact (regression for the guard's
+        boundary): H=160 -> C5 has 5 rows; spatial=2 shards them (3,2)
+        (uneven) and spatial=4 shards them (2,2,1,0) — one shard entirely
+        GSPMD padding. Both measured exact vs single-device (max |delta|
+        1.7e-6 f32); only rows < spatial corrupts, which place_images
+        rejects."""
+        module, variables, _ = detector
+        images = jnp.asarray(
+            np.random.default_rng(3)
+            .normal(size=(1, 160, 160, 3))
+            .astype(np.float32)
+        )
+        want = jax.jit(
+            lambda v, x: module.apply(v, x, False, return_levels=True)
+        )(variables, images)
+        want = (
+            [np.asarray(c, np.float32) for c in want[0]],
+            [np.asarray(b, np.float32) for b in want[1]],
+        )
+        for spatial in (2, 4):
+            plan = make_inference_mesh(data=1, spatial=spatial, model=1)
+            forward, place = build_sharded_forward(module, variables, plan)
+            _assert_levels_match(forward(place(images)), want)
+
     def test_tensor_parallel(self, detector, reference_levels):
         module, variables, images = detector
         plan = make_inference_mesh(data=1, spatial=1, model=8)
