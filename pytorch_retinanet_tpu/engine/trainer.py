@@ -189,13 +189,10 @@ class Trainer:
             return v
 
         spatial = self.mesh.spatial_size
-        if spatial > 1 and mutable_bn:
-            raise ValueError(
-                "spatial-parallel training requires freeze_bn=True (the "
-                "default, and the reference's): live batch statistics would "
-                "need axis-aware cross-shard reduction. Build the model with "
-                "freeze_bn=True or use a data-only mesh."
-            )
+        # spatial>1 + mutable_bn is legal here: eval/predict run the backbone
+        # with train=False (running stats), so the split spatial forward is
+        # fine. Only TRAINING live batch statistics would need axis-aware
+        # cross-shard reduction — fit() refuses that combination up front.
         if spatial > 1:
             # Spatial-parallel forward (mesh axis 'spatial' = image height):
             # the backbone runs on height-sharded images — GSPMD inserts the
@@ -410,6 +407,26 @@ class Trainer:
         eval/test/predict batches are padded UP to mesh divisibility by
         :meth:`_pad_batch_rows` instead of shrinking the mesh. Always derived
         from the full device set, so the mesh can grow back."""
+        if self.mesh.spatial_size > 1:
+            # An explicit (data, spatial) training mesh is never auto-shrunk —
+            # the caller chose the factorization. Batch rows shard over 'data'
+            # ONLY (height shards over 'spatial'), so divisibility is against
+            # the data axis — per host, when hosts each feed their slice.
+            procs = jax.process_count()
+            if self.mesh.data_size % procs != 0:
+                raise ValueError(
+                    f"the mesh's data axis ({self.mesh.data_size}) must be "
+                    f"divisible by the {procs} hosts in multi-process runs"
+                )
+            data_local = self.mesh.data_size // procs
+            if batch_size % data_local != 0:
+                raise ValueError(
+                    f"train batch {batch_size} (per host) must divide this "
+                    f"host's share of the mesh's data axis ({data_local}) "
+                    f"when training spatially sharded "
+                    f"(mesh {dict(self.mesh.mesh.shape)})"
+                )
+            return
         if jax.process_count() > 1:
             # Multi-host: batch_size is PER-HOST; the global batch is
             # batch_size × hosts over all devices. Require divisibility by
@@ -419,17 +436,6 @@ class Trainer:
                 raise ValueError(
                     f"per-host batch {batch_size} must be divisible by the "
                     f"{local} local devices in multi-process runs"
-                )
-            return
-        if self.mesh.spatial_size > 1:
-            # An explicit (data, spatial) training mesh is never auto-shrunk —
-            # the caller chose the factorization; a batch that doesn't divide
-            # the data axis is a config error.
-            if batch_size % self.mesh.data_size != 0:
-                raise ValueError(
-                    f"train batch {batch_size} must divide the mesh's data "
-                    f"axis ({self.mesh.data_size}) when training spatially "
-                    f"sharded (mesh {dict(self.mesh.mesh.shape)})"
                 )
             return
         n = len(self._all_devices)
@@ -473,6 +479,17 @@ class Trainer:
     def fit(self, model: RetinaNetModel) -> Dict[str, float]:
         """Train (reference: ``trainer.fit(model)``)."""
         self._model = model
+        if self.mesh.spatial_size > 1 and not model.net.freeze_bn:
+            # Only TRAINING hits this: live batch statistics would need
+            # axis-aware cross-shard reduction under the spatial split.
+            # validate/test/predict run the backbone with train=False
+            # (running stats) and work on any mesh.
+            raise ValueError(
+                "spatial-parallel training requires freeze_bn=True (the "
+                "default, and the reference's): live batch statistics would "
+                "need axis-aware cross-shard reduction. Build the model with "
+                "freeze_bn=True or use a data-only mesh."
+            )
         model.prepare_data()
         # Mesh sized by the TRAIN batch alone; eval batches pad up to mesh
         # divisibility (_pad_batch_rows) rather than shrinking the mesh.
@@ -519,9 +536,12 @@ class Trainer:
         # an explicit warmup_steps=0 disables warmup entirely.
         # All in OPTIMIZER steps (an accumulation window of N batches
         # contributes one); max_steps counts optimizer steps like Lightning.
-        total_steps = (
-            self.max_epochs * max(len(train_loader), 1)
-        ) // self.accumulate_grad_batches
+        # Per-epoch steps round UP: a window left incomplete at epoch end
+        # still fires one optimizer step (_flush_accumulation).
+        steps_per_epoch = -(
+            -max(len(train_loader), 1) // self.accumulate_grad_batches
+        )
+        total_steps = self.max_epochs * steps_per_epoch
         if self.max_steps:
             total_steps = min(total_steps, self.max_steps)
         total_steps = max(total_steps, 1)
@@ -688,6 +708,11 @@ class Trainer:
         self.global_step += k - mini
         if interval == "step" and self._opt_step % frequency == 0:
             self._step_scheduler(None)
+        # The flushed step counts toward max_steps (optimizer steps, like
+        # Lightning) — without this, the next epoch would train one more
+        # window past the limit before the in-loop check trips.
+        if self.max_steps and self._opt_step >= self.max_steps:
+            self.should_stop = True
 
     def _step_scheduler(self, monitor_value: Optional[float]) -> None:
         from .optim import set_momentum, warmup_scale

@@ -131,11 +131,16 @@ class MeshPlan:
             # >= 1 C5 row per spatial shard, or GSPMD's sub-row conv
             # partitioning corrupts the pyramid (parallel/sharding.py's
             # _DEEPEST_STRIDE note; uneven divisions are measured exact).
-            rows = int(np.asarray(x).shape[1]) // 32
+            # np.shape reads metadata only — no device→host copy when the
+            # batch is already device-resident.
+            from .sharding import _DEEPEST_STRIDE
+
+            height = int(np.shape(x)[1])
+            rows = height // _DEEPEST_STRIDE
             if rows < self.spatial_size:
                 raise ValueError(
                     f"spatial axis {self.spatial_size} too large for image "
-                    f"height {np.asarray(x).shape[1]}: C5 has {rows} rows and "
+                    f"height {height}: C5 has {rows} rows and "
                     "each spatial shard needs >= 1"
                 )
             return self.image_sharding
@@ -179,6 +184,14 @@ def make_train_mesh(
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     if spatial <= 1:
+        # Honor an explicit data= here too (a sweep over spatial with fixed
+        # data must not silently widen to all devices at spatial=1).
+        if data is not None:
+            if data < 1 or devs.size < data:
+                raise ValueError(
+                    f"data axis {data} needs {data} devices, have {devs.size}"
+                )
+            return make_mesh(devs.flatten()[:data])
         return make_mesh(devs)
     if data is None:
         data = devs.size // spatial

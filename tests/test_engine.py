@@ -424,8 +424,9 @@ class TestGradAccumulationTrainer:
         assert "AP" in results[0]
 
     def test_spatial_mesh_rejects_mutable_bn(self, conf):
-        """Live-BN training can't shard spatially (batch statistics would
-        need cross-shard reduction): the Trainer must refuse loudly."""
+        """Live-BN TRAINING can't shard spatially (batch statistics would
+        need cross-shard reduction): fit must refuse loudly. Eval paths run
+        the backbone with train=False (running stats) and must still work."""
         import jax
 
         from pytorch_retinanet_tpu.parallel import make_train_mesh
@@ -441,6 +442,37 @@ class TestGradAccumulationTrainer:
         )
         with pytest.raises(ValueError, match="freeze_bn"):
             trainer.fit(model)
+        val = trainer.validate(model)  # eval-only is legal on the same mesh
+        assert np.isfinite(val["val_loss"])
+
+    def test_max_steps_reached_by_flush_stops(self, conf):
+        """When the epoch-end flush is the optimizer step that reaches
+        max_steps, training must stop — not run one more window next epoch.
+        4 loader batches, k=3, max_steps=2: window [1,2,3] steps, flush of
+        [4] is step 2 -> stop after epoch 0."""
+        model = RetinaNetModel(conf)
+        trainer = Trainer(
+            max_epochs=5, checkpoint_dir=None, warmup_steps=0,
+            accumulate_grad_batches=3, max_steps=2,
+        )
+        trainer.fit(model)
+        assert trainer.global_step == 6
+        assert trainer._opt_step == 2
+        assert trainer.should_stop
+        assert trainer.current_epoch == 0
+
+    def test_warmup_cap_counts_flushed_steps(self, conf):
+        """The warmup cap (a fifth of planned optimizer steps) must count
+        flushed partial windows: 4 batches/epoch with k=3 is 2 optimizer
+        steps/epoch (ceil), so 5 epochs plan 10 steps -> cap 2 (floor-divide
+        would plan 6 -> cap 1)."""
+        model = RetinaNetModel(conf)
+        trainer = Trainer(
+            max_epochs=5, checkpoint_dir=None, warmup_steps=500,
+            accumulate_grad_batches=3,
+        )
+        trainer.fit(model)
+        assert trainer._warmup_eff == 2
 
     def test_max_steps_counts_optimizer_steps(self, conf):
         """Lightning's max_steps counts OPTIMIZER steps: with k=2,

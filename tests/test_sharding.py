@@ -79,6 +79,17 @@ class TestMeshPlan:
         with pytest.raises(ValueError):
             make_inference_mesh(data=16, spatial=1, model=1)
 
+    def test_train_mesh_honors_data_at_spatial_one(self):
+        """A sweep over spatial with fixed data= must keep the data axis at
+        the spatial=1 point too, not silently widen to all devices."""
+        from pytorch_retinanet_tpu.parallel import make_train_mesh
+
+        plan = make_train_mesh(jax.devices(), spatial=1, data=2)
+        assert plan.num_devices == 2
+        assert plan.data_size == 2
+        with pytest.raises(ValueError):
+            make_train_mesh(jax.devices(), spatial=1, data=99)
+
 
 class TestShardVariables:
     def test_kernels_shard_cout_when_divisible(self, detector):
