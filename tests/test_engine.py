@@ -461,6 +461,43 @@ class TestGradAccumulationTrainer:
         assert trainer.should_stop
         assert trainer.current_epoch == 0
 
+    def test_checkpoint_roundtrip_with_accumulation(self, conf, tmp_path_factory):
+        """The MultiSteps wrapper adds a params-sized gradient buffer to the
+        opt_state: a checkpoint saved by an accumulating trainer must restore
+        into a fresh accumulating trainer (the template pytree must match)
+        and continue fitting. The epoch-end flush guarantees saved windows
+        are closed (mini_step == 0) and global_step sits on a boundary."""
+        import copy
+
+        import jax
+
+        ckpt = str(tmp_path_factory.mktemp("acc_ckpt"))
+        model = RetinaNetModel(copy.deepcopy(conf))
+        tr = Trainer(
+            max_epochs=1, checkpoint_dir=ckpt, warmup_steps=0,
+            accumulate_grad_batches=3,
+        )
+        tr.fit(model)
+        assert int(jax.device_get(tr.state.opt_state.mini_step)) == 0
+        saved_step = tr.global_step
+        assert saved_step % 3 == 0  # flush rounded to the window boundary
+
+        model2 = RetinaNetModel(copy.deepcopy(conf))
+        tr2 = Trainer(
+            max_epochs=2, checkpoint_dir=None, warmup_steps=0,
+            accumulate_grad_batches=3,
+            resume_from_checkpoint=os.path.join(ckpt, "last"),
+        )
+        tr2.fit(model2)
+        assert tr2.global_step > saved_step
+        assert tr2.global_step % 3 == 0
+        assert tr2._opt_step == tr2.global_step // 3
+        assert int(jax.device_get(tr2.state.opt_state.mini_step)) == 0
+        assert all(
+            bool(np.all(np.isfinite(np.asarray(x))))
+            for x in jax.tree_util.tree_leaves(tr2.state.params)
+        )
+
     def test_warmup_cap_counts_flushed_steps(self, conf):
         """The warmup cap (a fifth of planned optimizer steps) must count
         flushed partial windows: 4 batches/epoch with k=3 is 2 optimizer
