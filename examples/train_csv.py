@@ -36,6 +36,18 @@ def main() -> None:
     ap.add_argument("--max-size", type=int, default=1333)
     ap.add_argument("--checkpoint-dir", default="checkpoints")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument(
+        "--spatial", type=int, default=1,
+        help="shard image HEIGHT over N chips during training (spreads one "
+        "image's backbone FLOPs/activations; freeze_bn only — see "
+        "docs/DESIGN.md §21). batch must divide the remaining data axis.",
+    )
+    ap.add_argument(
+        "--accumulate", type=int, default=1,
+        help="gradient accumulation window (Lightning "
+        "accumulate_grad_batches semantics: window-mean grads, clip at "
+        "optimizer-step time, partial epoch-end windows flushed)",
+    )
     args = ap.parse_args()
 
     seed_everything(args.seed)
@@ -78,7 +90,17 @@ def main() -> None:
     )
 
     model = RetinaNetModel(conf)
-    trainer = Trainer(max_epochs=args.epochs, checkpoint_dir=args.checkpoint_dir)
+    kwargs = {}
+    if args.spatial > 1:
+        from pytorch_retinanet_tpu.parallel import make_train_mesh
+
+        kwargs["mesh"] = make_train_mesh(spatial=args.spatial)
+    trainer = Trainer(
+        max_epochs=args.epochs,
+        checkpoint_dir=args.checkpoint_dir,
+        accumulate_grad_batches=args.accumulate,
+        **kwargs,
+    )
     metrics = trainer.fit(model)
     print("train metrics:", {k: round(v, 4) for k, v in metrics.items()})
     results = trainer.test(model)
