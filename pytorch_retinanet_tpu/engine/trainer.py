@@ -84,6 +84,8 @@ class Trainer:
         profile_dir: Optional[str] = None,
         mesh: Optional[MeshPlan] = None,
         devices: Optional[Sequence[Any]] = None,
+        save_on_interrupt: bool = True,
+        auto_resume: bool = False,
         # accepted-for-parity, ignored:
         gpus: Any = None,
         precision: Any = None,
@@ -116,6 +118,18 @@ class Trainer:
         # small-batch validate cannot permanently shrink the training mesh.
         self._all_devices = list(self.mesh.mesh.devices.flatten())
         self.should_stop = False
+        # Preemption safety: SIGTERM/SIGINT during fit() checkpoints at the
+        # next step boundary and returns cleanly (TPU spot/preemptible VMs get
+        # SIGTERM with a short grace window; Lightning's ctrl-C similarly
+        # saves before exiting). Single-process only — a signal delivered to
+        # one host of a multi-host job must not start a collective orbax save
+        # the other hosts never join.
+        self.save_on_interrupt = save_on_interrupt
+        # auto_resume: restart-the-same-command recovery — fit() picks up the
+        # newest checkpoint in checkpoint_dir ('interrupt' from a preemption,
+        # else 'last') when no explicit resume_from_checkpoint is given.
+        self.auto_resume = auto_resume
+        self._interrupted = False
         self._mem_logged = False
         self.current_epoch = 0
         self.global_step = 0
@@ -340,7 +354,9 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # Checkpointing (orbax — SURVEY.md §5.4)
     # ------------------------------------------------------------------ #
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(
+        self, path: str, completed_epochs: Optional[int] = None
+    ) -> None:
         import orbax.checkpoint as ocp
 
         if self.state is None:
@@ -349,7 +365,14 @@ class Trainer:
             "state": jax.device_get(self.state),
             # epochs COMPLETED: checkpoints are written at epoch end, so a
             # resume starts at the next epoch instead of repeating this one.
-            "epoch": np.asarray(self.current_epoch + 1),
+            # A mid-epoch interrupt save passes the interrupted epoch itself
+            # so the resume re-runs it in full (the schedule counters carry
+            # the partial progress either way).
+            "epoch": np.asarray(
+                self.current_epoch + 1
+                if completed_epochs is None
+                else completed_epochs
+            ),
             "global_step": np.asarray(self.global_step),
         }
         ckptr = ocp.PyTreeCheckpointer()
@@ -363,6 +386,27 @@ class Trainer:
         }
         with open(os.path.join(os.path.abspath(path), "host_state.pkl"), "wb") as f:
             pickle.dump(host, f)
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        """Newest resumable checkpoint in the ModelCheckpoint dir, or None.
+
+        'interrupt' (preemption save) and 'last' (per-epoch save) are the
+        resume candidates — 'best' is a selection artifact, not a training
+        frontier. Newest-mtime wins: after an interrupt the 'interrupt' save
+        postdates 'last'; after a clean epoch 'last' postdates a stale
+        'interrupt' from an earlier preemption."""
+        dirs = [
+            c.dirpath for c in self.callbacks if isinstance(c, ModelCheckpoint)
+        ]
+        candidates = [
+            os.path.join(d, name)
+            for d in dirs
+            for name in ("interrupt", "last")
+            if os.path.isdir(os.path.join(d, name))
+        ]
+        if not candidates:
+            return None
+        return max(candidates, key=os.path.getmtime)
 
     def restore_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
@@ -520,10 +564,15 @@ class Trainer:
             self.state = self.state.replace(
                 opt_state=set_momentum(self.state.opt_state, init_m)
             )
-        if self.resume_from_checkpoint:
+        resume_path = self.resume_from_checkpoint
+        if not resume_path and self.auto_resume:
+            resume_path = self._latest_checkpoint()
+            if resume_path:
+                logger.info("auto_resume: continuing from %s", resume_path)
+        if resume_path:
             # restore_checkpoint also recovers _sched_lr + scheduler counters
             # from the host-state sidecar (the opt_state LR may be mid-warmup).
-            self.restore_checkpoint(self.resume_from_checkpoint)
+            self.restore_checkpoint(resume_path)
         self.current_lr = current_learning_rate(self.state.opt_state)
 
         # Per-process dataset shard (loader batch size is PER-HOST; the mesh
@@ -555,9 +604,14 @@ class Trainer:
         metrics: Dict[str, float] = {}
         self._mem_logged = False  # log HBM telemetry once per fit
 
+        installed = self._install_interrupt_handlers()
         try:
             self._fit_loop(model, train_step, eval_step, train_loader, metrics)
         finally:
+            import signal
+
+            for sig, prev in installed.items():
+                signal.signal(sig, prev)
             # Always release the profiler — its trace of the failing steps is
             # most valuable exactly when fit raises (e.g. the NaN guard).
             self.profiler.close()
@@ -565,6 +619,66 @@ class Trainer:
             cb.on_train_end(self)
         self._sync_model(model)
         return metrics
+
+    def _install_interrupt_handlers(self) -> Dict[Any, Any]:
+        """SIGTERM/SIGINT → checkpoint-and-stop (preemption safety).
+
+        Returns the {signal: previous_handler} map for the caller to restore.
+        No-ops (empty map) when disabled, off the main thread (signal.signal
+        would raise), or multi-host (see ``save_on_interrupt`` in __init__).
+        A second signal escalates to an immediate KeyboardInterrupt.
+        """
+        import signal
+        import threading
+
+        self._interrupted = False
+        if not (
+            self.save_on_interrupt
+            and jax.process_count() == 1
+            and threading.current_thread() is threading.main_thread()
+        ):
+            return {}
+
+        def _on_signal(signum, frame):
+            if self._interrupted:
+                raise KeyboardInterrupt
+            self._interrupted = True
+            logger.warning(
+                "received %s — checkpointing at the next step boundary "
+                "(signal again to abort without saving)",
+                signal.Signals(signum).name,
+            )
+
+        installed = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            installed[sig] = signal.signal(sig, _on_signal)
+        return installed
+
+    def _save_interrupt_checkpoint(self) -> None:
+        """Flushed-state save into ``<checkpoint_dir>/interrupt`` so a
+        preempted run resumes with ``Trainer(resume_from_checkpoint=...)``.
+
+        The interrupted epoch is never counted as completed — the resume
+        re-runs it (Lightning's fault tolerance restarts the epoch too).
+        That keeps the invariant "N epochs completed ⟺ the epoch-interval
+        scheduler stepped N times" regardless of where in the epoch the
+        signal landed; the accumulation buffer was flushed beforehand, so
+        the window state is a clean boundary either way."""
+        dirs = [
+            c.dirpath for c in self.callbacks if isinstance(c, ModelCheckpoint)
+        ]
+        if not dirs:
+            logger.warning(
+                "interrupted, but no ModelCheckpoint callback is configured — "
+                "nothing saved (pass checkpoint_dir= to Trainer)"
+            )
+            return
+        path = os.path.join(dirs[0], "interrupt")
+        self.save_checkpoint(path, completed_epochs=self.current_epoch)
+        logger.warning(
+            "interrupt checkpoint saved; resume with "
+            "Trainer(resume_from_checkpoint=%r).fit(model)", path
+        )
 
     def _fit_loop(self, model, train_step, eval_step, train_loader, metrics) -> None:
         interval = self._sched_meta.get("interval", "epoch")
@@ -604,12 +718,23 @@ class Trainer:
                 if self.max_steps and self._opt_step >= self.max_steps:
                     self.should_stop = True
                     break
+                if self._interrupted:
+                    break
             self._flush_accumulation(interval, frequency)
             if step_metrics is not None:  # epoch-end flush for callbacks
                 host = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
                 self._check_finite(host)
                 self.logger_.update(**host)
                 metrics.update({f"train_{k}": v for k, v in host.items()})
+
+            if self._interrupted:
+                # Save and leave inside the preemption grace window: no
+                # validation, no epoch-scheduler step, no epoch callbacks —
+                # the epoch doesn't count as completed (see
+                # _save_interrupt_checkpoint).
+                self._save_interrupt_checkpoint()
+                self.should_stop = True
+                break
 
             if (epoch + 1) % self.val_check_interval == 0:
                 val_metrics = self._run_validation(model, eval_step)
