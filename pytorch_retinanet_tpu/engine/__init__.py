@@ -1,6 +1,12 @@
 """Training/eval harness: Trainer, task module, optimizers, callbacks."""
 
-from .callbacks import Callback, EarlyStopping, LearningRateMonitor, ModelCheckpoint
+from .callbacks import (
+    Callback,
+    CSVLogger,
+    EarlyStopping,
+    LearningRateMonitor,
+    ModelCheckpoint,
+)
 from .model import RetinaNetModel
 from .optim import (
     OPTIMIZER_REGISTRY,
@@ -12,6 +18,7 @@ from .trainer import Trainer, TrainState
 
 __all__ = [
     "Callback",
+    "CSVLogger",
     "EarlyStopping",
     "LearningRateMonitor",
     "ModelCheckpoint",

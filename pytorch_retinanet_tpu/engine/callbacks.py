@@ -108,3 +108,71 @@ class LearningRateMonitor(Callback):
     def on_epoch_end(self, trainer, metrics: Dict[str, float]) -> None:
         metrics["lr"] = trainer.current_lr
         logger.info("lr: %.6g", trainer.current_lr)
+
+
+class CSVLogger(Callback):
+    """pl.loggers.CSVLogger-parity metrics sink (reference gets its loggers
+    from Lightning 1.0; pass this as ``Trainer(logger=...)``).
+
+    Writes ``<save_dir>/<name>/version_<k>/metrics.csv`` — one row per epoch,
+    columns the union of every metric key seen (rows logged before a new key
+    appeared get an empty cell, exactly like Lightning's) — plus
+    ``hparams.yaml`` when the fitted model carries hparams. The version
+    directory auto-increments per run unless ``version`` is pinned.
+    """
+
+    def __init__(self, save_dir: str = "logs", name: str = "default",
+                 version: Optional[int] = None):
+        self.save_dir = save_dir
+        self.name = name
+        self._version = version
+        self._rows: list = []
+        self._log_dir: Optional[str] = None
+
+    @property
+    def log_dir(self) -> str:
+        if self._log_dir is None:
+            base = os.path.join(self.save_dir, self.name)
+            if self._version is None:
+                existing = []
+                if os.path.isdir(base):
+                    for d in os.listdir(base):
+                        if d.startswith("version_") and d[8:].isdigit():
+                            existing.append(int(d[8:]))
+                self._version = max(existing) + 1 if existing else 0
+            self._log_dir = os.path.join(base, f"version_{self._version}")
+            os.makedirs(self._log_dir, exist_ok=True)
+        return self._log_dir
+
+    def _write(self) -> None:
+        import csv
+
+        keys: list = []
+        for row in self._rows:  # insertion order, first-seen first
+            for k in row:
+                if k not in keys:
+                    keys.append(k)
+        with open(os.path.join(self.log_dir, "metrics.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self._rows)
+
+    def log_hyperparams(self, hparams) -> None:
+        """Serialize the model config next to the metrics (Lightning writes
+        hparams.yaml from save_hyperparameters; the Trainer calls this with
+        ``model.hparams`` when present)."""
+        from .. import config as _config
+
+        try:
+            text = _config.OmegaConf.to_yaml(hparams)
+        except Exception:
+            text = repr(hparams)
+        with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
+            f.write(text)
+
+    def on_epoch_end(self, trainer, metrics: Dict[str, float]) -> None:
+        self._rows.append(
+            {"epoch": trainer.current_epoch, "step": trainer.global_step,
+             **metrics}
+        )
+        self._write()  # rewrite-per-epoch: crash/preemption loses nothing

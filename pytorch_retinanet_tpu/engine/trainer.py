@@ -86,6 +86,7 @@ class Trainer:
         devices: Optional[Sequence[Any]] = None,
         save_on_interrupt: bool = True,
         auto_resume: bool = False,
+        logger: Any = True,
         # accepted-for-parity, ignored:
         gpus: Any = None,
         precision: Any = None,
@@ -99,6 +100,13 @@ class Trainer:
             isinstance(c, ModelCheckpoint) for c in self.callbacks
         ):
             self.callbacks.append(ModelCheckpoint(checkpoint_dir))
+        # pl.Trainer(logger=) parity: an experiment logger (e.g. CSVLogger)
+        # rides the callback hooks; True (Lightning's "default logger") and
+        # False/None both mean "no experiment logger" here — progress/metric
+        # printing is always on via MetricLogger.
+        self.logger = logger if isinstance(logger, Callback) else None
+        if self.logger is not None:
+            self.callbacks.append(self.logger)
         self.resume_from_checkpoint = resume_from_checkpoint
         self.val_check_interval = val_check_interval
         self.gradient_clip_val = gradient_clip_val
@@ -523,6 +531,10 @@ class Trainer:
     def fit(self, model: RetinaNetModel) -> Dict[str, float]:
         """Train (reference: ``trainer.fit(model)``)."""
         self._model = model
+        if self.logger is not None and hasattr(self.logger, "log_hyperparams"):
+            hparams = getattr(model, "hparams", None)
+            if hparams is not None:
+                self.logger.log_hyperparams(hparams)
         if self.mesh.spatial_size > 1 and not model.net.freeze_bn:
             # Only TRAINING hits this: live batch statistics would need
             # axis-aware cross-shard reduction under the spatial split.
