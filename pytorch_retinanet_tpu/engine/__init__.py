@@ -6,6 +6,7 @@ from .callbacks import (
     EarlyStopping,
     LearningRateMonitor,
     ModelCheckpoint,
+    TensorBoardLogger,
 )
 from .model import RetinaNetModel
 from .optim import (
@@ -25,6 +26,7 @@ __all__ = [
     "OPTIMIZER_REGISTRY",
     "RetinaNetModel",
     "SCHEDULER_REGISTRY",
+    "TensorBoardLogger",
     "Trainer",
     "TrainState",
     "build_optimizer",

@@ -110,6 +110,76 @@ class LearningRateMonitor(Callback):
         logger.info("lr: %.6g", trainer.current_lr)
 
 
+class TensorBoardLogger(Callback):
+    """pl.loggers.TensorBoardLogger-parity sink — writes real
+    ``events.out.tfevents.*`` files (engine/tb.py's dependency-free writer;
+    Lightning 1.0's DEFAULT logger, which the reference Trainer runs with —
+    reference README.md:42-58). Pass as ``Trainer(logger=...)``.
+
+    Layout matches Lightning: ``<save_dir>/<name>/version_<k>/`` holding the
+    event file plus ``hparams.yaml``; version auto-increments per run unless
+    pinned. Scalars are logged once per epoch at the optimizer-step counter,
+    so curves from a reference run and a run here line up on the same axis.
+    """
+
+    def __init__(self, save_dir: str = "logs", name: str = "default",
+                 version: Optional[int] = None):
+        self.save_dir = save_dir
+        self.name = name
+        self._version = version
+        self._log_dir: Optional[str] = None
+        self._writer = None
+
+    @property
+    def log_dir(self) -> str:
+        if self._log_dir is None:
+            base = os.path.join(self.save_dir, self.name)
+            if self._version is None:
+                existing = []
+                if os.path.isdir(base):
+                    for d in os.listdir(base):
+                        if d.startswith("version_") and d[8:].isdigit():
+                            existing.append(int(d[8:]))
+                self._version = max(existing) + 1 if existing else 0
+            self._log_dir = os.path.join(base, f"version_{self._version}")
+            os.makedirs(self._log_dir, exist_ok=True)
+        return self._log_dir
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from .tb import EventFileWriter
+
+            self._writer = EventFileWriter(self.log_dir)
+        return self._writer
+
+    def log_hyperparams(self, hparams) -> None:
+        from .. import config as _config
+
+        try:
+            text = _config.OmegaConf.to_yaml(hparams)
+        except Exception:
+            text = repr(hparams)
+        with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
+            f.write(text)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        finite = {
+            k: float(v)
+            for k, v in metrics.items()
+            if isinstance(v, (int, float)) and not math.isnan(float(v))
+        }
+        self.writer.add_scalars(finite, step)
+
+    def on_epoch_end(self, trainer, metrics: Dict[str, float]) -> None:
+        self.log_metrics({"epoch": trainer.current_epoch, **metrics},
+                         trainer.global_step)
+
+    def on_train_end(self, trainer) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
 class CSVLogger(Callback):
     """pl.loggers.CSVLogger-parity metrics sink (reference gets its loggers
     from Lightning 1.0; pass this as ``Trainer(logger=...)``).

@@ -84,7 +84,15 @@ class RetinaNetModel:
                 if vp is not None and vp is not False
                 else None
             )
-            self.test_ds = PascalDataset(conf.dataset.test_paths, build_transforms(None))
+            # test_paths gets the same None/False handling as valid_paths: a
+            # fit-only config must not need a test CSV (test_dataloader
+            # raises a guided error if test() is then called).
+            tp = conf.dataset.test_paths
+            self.test_ds = (
+                PascalDataset(tp, build_transforms(None))
+                if tp is not None and tp is not False
+                else None
+            )
         else:
             raise ValueError(f"unknown dataset.kind {kind!r}")
 
@@ -128,6 +136,11 @@ class RetinaNetModel:
     def test_dataloader(self, shard: int = 0, num_shards: int = 1) -> DetectionLoader:
         if self.test_ds is None:
             self.prepare_data()
+        if self.test_ds is None:
+            raise ValueError(
+                "no test dataset: set dataset.test_paths (csv/pascal kinds) "
+                "before calling test()/test_dataloader()"
+            )
         return DetectionLoader(
             self.test_ds,
             int(self.hparams.dataloader.test_bs),
@@ -143,6 +156,11 @@ class RetinaNetModel:
         boxes, so the trainer uses bbox; the wider surface serves user code."""
         if self.test_ds is None:
             self.prepare_data()
+        if self.test_ds is None:
+            raise ValueError(
+                "no test dataset: set dataset.test_paths before building an "
+                "evaluator"
+            )
         return CocoEvaluator(get_coco_api_from_dataset(self.test_ds), list(iou_types))
 
     # ------------------------------------------------------------------ #

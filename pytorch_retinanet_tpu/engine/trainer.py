@@ -319,8 +319,12 @@ class Trainer:
                     variables_of(state), images
                 )
             else:
+                # mesh= lets the fused Pallas stem run shard_mapped over the
+                # batch on a >1-device mesh (single-device: direct call;
+                # non-TPU or non-divisible batch: auto-gated off).
                 cls_levels, box_levels = apply_detector(
-                    module, variables_of(state), images, return_levels=True
+                    module, variables_of(state), images, return_levels=True,
+                    mesh=self.mesh.mesh if self.mesh.num_devices > 1 else None,
                 )
             anchors_levels = [
                 jnp.asarray(a)

@@ -282,6 +282,137 @@ def load_torch_retinanet(
     return out
 
 
+# --------------------------------------------------------------------------- #
+# JAX → torch export (the reverse migration path)
+# --------------------------------------------------------------------------- #
+# A TPU-trained detector exported back into the reference's checkpoint schema,
+# so `Retinanet(**args).load_state_dict(torch.load(path))` (reference
+# models.py:21 + demo cell 25) accepts weights trained here. Exact inverse of
+# `torch_retinanet_to_flax`: same key schema, OIHW weights, BN running stats,
+# plus the `num_batches_tracked` buffers torch state_dicts carry.
+
+
+def _s2d_kernel_to_7x7(k4: np.ndarray, atol: float = 1e-6) -> np.ndarray:
+    """Invert :func:`..models.layers.stem_kernel_to_s2d`.
+
+    The [4,4,4*Cin,Cout] space-to-depth stem kernel covers an 8x8 receptive
+    field; taps in the extra top row/column (input pixel x[2i-4]) have no 7x7
+    equivalent. They are zero right after conversion but RECEIVE GRADIENTS
+    when the s2d stem trains, so a trained kernel may not be representable —
+    refuse with a clear error instead of silently dropping learned taps."""
+    k4 = np.asarray(k4)
+    kh, kw, cin4, cout = k4.shape
+    assert (kh, kw) == (4, 4) and cin4 % 4 == 0, k4.shape
+    cin = cin4 // 4
+    k8 = (
+        k4.reshape(4, 4, 2, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(8, 8, cin, cout)
+    )
+    extra = max(np.abs(k8[0, :]).max(), np.abs(k8[:, 0]).max())
+    if extra > atol:
+        raise ValueError(
+            "s2d stem kernel has learned taps outside the 7x7 receptive field "
+            f"(max |tap| = {extra:.3g} > atol {atol:.3g}); this kernel is not "
+            "representable in the reference's 7x7 stem schema. Retrain with "
+            "stem_s2d=False or zero the out-of-field taps explicitly."
+        )
+    return k8[1:, 1:]
+
+
+def flax_resnet_to_torch(
+    params: Mapping[str, Any], stats: Mapping[str, Any], kind: str
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_resnet_to_flax`: flax backbone subtrees →
+    torchvision ResNet state_dict (numpy values, OIHW conv layout)."""
+    block_kind, depths = RESNET_SPECS[kind]
+    n_convs = 2 if block_kind == "basic" else 3
+    out: Dict[str, np.ndarray] = {}
+
+    def put_conv(torch_key: str, p: Mapping[str, Any]) -> None:
+        out[torch_key] = np.asarray(p["kernel"], np.float32).transpose(3, 2, 0, 1)
+
+    def put_bn(torch_prefix: str, p: Mapping[str, Any], s: Mapping[str, Any]) -> None:
+        bnp, bns = p["BatchNorm_0"], s["BatchNorm_0"]
+        out[f"{torch_prefix}.weight"] = np.asarray(bnp["scale"], np.float32)
+        out[f"{torch_prefix}.bias"] = np.asarray(bnp["bias"], np.float32)
+        out[f"{torch_prefix}.running_mean"] = np.asarray(bns["mean"], np.float32)
+        out[f"{torch_prefix}.running_var"] = np.asarray(bns["var"], np.float32)
+        out[f"{torch_prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    stem = np.asarray(params["stem_conv"]["kernel"], np.float32)
+    if tuple(stem.shape[:2]) == (4, 4):
+        stem = _s2d_kernel_to_7x7(stem)
+    out["conv1.weight"] = stem.transpose(3, 2, 0, 1)
+    put_bn("bn1", params["stem_bn"], stats["stem_bn"])
+
+    for stage, depth in enumerate(depths, start=1):
+        for i in range(depth):
+            blk_p = params[f"layer{stage}_block{i}"]
+            blk_s = stats[f"layer{stage}_block{i}"]
+            tprefix = f"layer{stage}.{i}"
+            for j in range(1, n_convs + 1):
+                put_conv(f"{tprefix}.conv{j}.weight", blk_p[f"conv{j}"])
+                put_bn(f"{tprefix}.bn{j}", blk_p[f"bn{j}"], blk_s[f"bn{j}"])
+            if "downsample_conv" in blk_p:
+                put_conv(f"{tprefix}.downsample.0.weight", blk_p["downsample_conv"])
+                put_bn(
+                    f"{tprefix}.downsample.1",
+                    blk_p["downsample_bn"],
+                    blk_s["downsample_bn"],
+                )
+    return out
+
+
+def flax_retinanet_to_torch(
+    variables: Mapping, kind: str
+) -> Dict[str, np.ndarray]:
+    """Export this package's full-detector variables into the reference's
+    ``state_dict`` schema (``backbone.backbone.* / fpn.* / retinanet_head.*``,
+    numpy values). The exact inverse of :func:`torch_retinanet_to_flax` — a
+    reference ``Retinanet`` loads the result with ``strict=True`` (reference
+    models.py:21; key schema per layers.py:12-260, backbone.py:340-360)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    for k, v in flax_resnet_to_torch(
+        params["backbone"], stats["backbone"], kind
+    ).items():
+        sd[f"backbone.backbone.{k}"] = v
+
+    def conv(prefix: str, p: Mapping[str, Any]) -> None:
+        sd[f"{prefix}.weight"] = np.asarray(p["kernel"], np.float32).transpose(
+            3, 2, 0, 1
+        )
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    for theirs, ours in _FPN_KEYMAP.items():
+        conv(f"fpn.{theirs}", params["fpn"][ours])
+
+    for ours, theirs, out_name in (
+        ("cls_subnet", "classification_head.class_subnet", "class_subnet_output"),
+        ("box_subnet", "regression_head.box_subnet", "box_subnet_output"),
+    ):
+        sub = params["head"][ours]
+        for i, ti in enumerate((0, 2, 4, 6)):
+            conv(f"retinanet_head.{theirs}.{ti}", sub[f"conv{i}"])
+        conv(f"retinanet_head.{theirs.split('.')[0]}.{out_name}", sub["predictor"])
+    return sd
+
+
+def save_torch_retinanet(variables: Mapping, path: str, kind: str) -> None:
+    """``torch.save`` the exported reference-schema state_dict at ``path`` —
+    the file the reference's documented reload flow consumes."""
+    import torch
+
+    # copy=True: transposed views are non-contiguous and jax exports are
+    # read-only — torch.from_numpy needs a writable contiguous buffer.
+    sd = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in
+          flax_retinanet_to_torch(variables, kind).items()}
+    torch.save(sd, path)
+
+
 def load_torch_resnet(variables: Mapping, path: str, kind: str) -> Dict[str, Any]:
     """Return a copy of `variables` with the backbone subtree replaced by the
     converted torch checkpoint at `path` (a torchvision ResNet ``.pth``)."""

@@ -152,6 +152,7 @@ def apply_detector(
     return_levels: bool = False,
     use_fused_stem: bool | None = None,
     use_fused_trunk: bool = False,
+    mesh=None,
 ):
     """Inference forward pass with the fused Pallas stem when supported.
 
@@ -160,13 +161,33 @@ def apply_detector(
     bit-compatible with inference semantics (running BN statistics). This is
     the single entry every inference call site (predict, eval-predict, bench,
     profilers) should use; training keeps the standard module path.
+
+    On a single device the kernel is called directly. With ``mesh`` given
+    (a >1-device mesh whose batch axis is 'data'), the kernel is wrapped in
+    ``shard_map`` over the batch shards instead — pallas_call has no SPMD
+    partitioning rule, so this is what makes the fast stem legal under a
+    multi-chip mesh (parallel.sharding.make_sharded_stem; gate:
+    sharded_stem_applicable).
     """
     from ..kernels import fused_stem
 
+    sharded = False
     if use_fused_stem is None:
-        use_fused_stem = fused_stem_applicable(module, images.shape)
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.sharding import sharded_stem_applicable
+
+            use_fused_stem = sharded = sharded_stem_applicable(
+                module, images.shape, mesh
+            )
+        else:
+            use_fused_stem = fused_stem_applicable(module, images.shape)
     if use_fused_stem:
-        stem = fused_stem(variables, images, mean=module.mean, std=module.std)
+        if sharded:
+            from ..parallel.sharding import make_sharded_stem
+
+            stem = make_sharded_stem(module, mesh)(variables, images)
+        else:
+            stem = fused_stem(variables, images, mean=module.mean, std=module.std)
         if use_fused_trunk:
             # Opt-in kernel-fused trunk (models/fused_backbone.py): identity
             # bottlenecks as single VMEM-resident Pallas passes. Compiled
@@ -471,6 +492,23 @@ class Retinanet:
         self.variables = load_torch_retinanet(
             self.variables, state_dict_or_path, self.backbone_kind
         )
+
+    def to_torch_state_dict(self):
+        """Export the detector into the reference's ``state_dict`` schema
+        (flat ``backbone.backbone.* / fpn.* / retinanet_head.*`` keys, OIHW
+        numpy weights) — the reverse migration path: a reference
+        ``Retinanet`` loads the result with ``load_state_dict`` directly
+        (reference models.py:21; see models/converter.py
+        flax_retinanet_to_torch)."""
+        from .converter import flax_retinanet_to_torch
+
+        return flax_retinanet_to_torch(self.variables, self.backbone_kind)
+
+    def save_torch_state_dict(self, path: str) -> None:
+        """``torch.save`` the reference-schema export at ``path``."""
+        from .converter import save_torch_retinanet
+
+        save_torch_retinanet(self.variables, path, self.backbone_kind)
 
     def state_dict(self):
         """The full variable pytree (params + batch stats)."""

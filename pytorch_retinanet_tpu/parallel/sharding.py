@@ -41,8 +41,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "InferenceMeshPlan",
     "make_inference_mesh",
+    "make_sharded_stem",
     "make_split_forward",
     "shard_variables",
+    "sharded_stem_applicable",
     "build_sharded_forward",
 ]
 
@@ -200,6 +202,84 @@ def make_split_forward(module, mesh: Mesh, *, gather_spec: Optional[P] = P("data
     return forward
 
 
+def _stem_subtree(variables):
+    """Just the stem leaves (conv + BN params/stats) — what
+    kernels.stem_pallas.fused_stem reads. Passing only these through
+    shard_map keeps its replicated-input gather to ~10 KB instead of the
+    whole parameter tree."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    if "backbone" in p:
+        p, s = p["backbone"], s["backbone"]
+    return {
+        "params": {"stem_conv": p["stem_conv"], "stem_bn": p["stem_bn"]},
+        "batch_stats": {"stem_bn": s["stem_bn"]},
+    }
+
+
+def sharded_stem_applicable(module, image_shape, mesh: Mesh, axis: str = "data") -> bool:
+    """Gate for :func:`make_sharded_stem` — the multi-device analog of
+    models.retinanet.fused_stem_applicable.
+
+    The Pallas stem is batch-parallel, so it is legal on any mesh where the
+    batch divides the ``axis`` extent and the image rows are whole per device:
+    a 'spatial' axis > 1 height-shards the images (partial rows — the stem's
+    halo DMA assumes full height), so it disqualifies. A 'model' axis > 1 is
+    fine — the stem recomputes redundantly across it (2-4 ms of work on a
+    ~10 KB weight slice), exactly like replicated-parameter layers do."""
+    import jax.numpy as jnp
+
+    from ..kernels import fused_stem_supported, tpu_available
+
+    if mesh is None or axis not in mesh.axis_names:
+        return False
+    if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
+        return False
+    return (
+        tpu_available()
+        and not module.stem_s2d
+        and module.dtype == jnp.bfloat16
+        and fused_stem_supported(image_shape)
+        and image_shape[0] % mesh.shape[axis] == 0
+    )
+
+
+def make_sharded_stem(module, mesh: Mesh, *, axis: str = "data", interpret: bool = False):
+    """Batch-sharded fused Pallas stem: ``pallas_call`` has no SPMD
+    partitioning rule, so under a >1-device mesh the kernel must be wrapped in
+    ``shard_map`` over the batch axis — each device runs the kernel on its
+    local batch shard, no collectives (the stem is embarrassingly
+    batch-parallel). This upgrades the r2 multi-device gate (which simply
+    fell back to the XLA stem) into a working multi-chip fast path.
+
+    Returns ``stem(variables, images) -> pooled stem output`` whose result
+    feeds ``RetinaNetModule.__call__(stem_in=...)``; differentiable (the
+    kernel's custom VJP recomputes through the XLA composition per shard).
+    Callers gate with :func:`sharded_stem_applicable`.
+    """
+    from functools import partial as _partial
+
+    from ..kernels import fused_stem
+
+    @_partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _stem(stem_vars, images):
+        return fused_stem(
+            stem_vars, images, mean=module.mean, std=module.std,
+            interpret=interpret,
+        )
+
+    def stem(variables, images):
+        return _stem(_stem_subtree(variables), images)
+
+    return stem
+
+
 def build_sharded_forward(
     module,
     variables: Any,
@@ -223,9 +303,11 @@ def build_sharded_forward(
     maps compute with full rows: sub-row shards at the deep strides are where
     GSPMD's conv partitioning loses exactness (see ``place_images``'s guard).
 
-    Uses the plain module forward, not the fused-Pallas-stem path —
-    ``pallas_call`` has no SPMD partitioning rule (see
-    models.retinanet.apply_detector's single-device gate).
+    When the 'spatial' axis is 1 the stem goes through
+    ``models.retinanet.apply_detector`` with ``mesh=`` — i.e. the fused
+    Pallas stem runs shard_mapped over the batch on TPU
+    (:func:`make_sharded_stem`); height-sharded images keep the XLA stem
+    (the kernel's halo DMA assumes whole image rows per device).
     """
     if tensor_parallel and plan.axis_size("model") > 1:
         shardings = shard_variables(variables, plan.mesh)
@@ -244,6 +326,12 @@ def build_sharded_forward(
 
     @jax.jit
     def forward(images):
+        if spatial == 1:
+            from ..models.retinanet import apply_detector
+
+            return apply_detector(
+                module, placed, images, return_levels=True, mesh=plan.mesh
+            )
         return split(placed, images, return_levels=True)
 
     def place_images(images):

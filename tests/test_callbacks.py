@@ -81,6 +81,65 @@ class TestCSVLogger:
         ).logger is None
 
 
+class TestTensorBoardLogger:
+    """engine/tb.py: the dependency-free event-file writer must emit
+    spec-conforming TFRecord/protobuf bytes (crc-checked independent reader)."""
+
+    def test_crc32c_known_vector(self):
+        from pytorch_retinanet_tpu.engine.tb import crc32c
+
+        # RFC 3720 appendix / canonical CRC-32C check value
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+
+    def test_event_file_roundtrip(self, tmp_path):
+        from pytorch_retinanet_tpu.engine import TensorBoardLogger
+        from pytorch_retinanet_tpu.engine.tb import read_events
+
+        lg = TensorBoardLogger(save_dir=str(tmp_path), name="exp")
+        lg.on_epoch_end(fake_trainer(0, 4), {"train_loss": 1.25})
+        # step > 127 exercises multi-byte varints; a second tag per event too
+        lg.on_epoch_end(fake_trainer(1, 300), {"train_loss": 0.5, "AP": 0.31})
+        lg.on_train_end(fake_trainer())
+
+        files = [f for f in os.listdir(lg.log_dir) if f.startswith("events.out")]
+        assert len(files) == 1
+        events = read_events(os.path.join(lg.log_dir, files[0]))
+        assert events[0]["file_version"] == "brain.Event:2"
+        assert events[1]["step"] == 4
+        assert events[1]["values"]["train_loss"] == pytest.approx(1.25)
+        assert events[2]["step"] == 300
+        assert events[2]["values"]["AP"] == pytest.approx(0.31, abs=1e-6)
+        assert events[2]["values"]["epoch"] == pytest.approx(1.0)
+
+    def test_nan_metrics_dropped_and_versioning(self, tmp_path):
+        from pytorch_retinanet_tpu.engine import TensorBoardLogger
+        from pytorch_retinanet_tpu.engine.tb import read_events
+
+        lg = TensorBoardLogger(save_dir=str(tmp_path), name="exp")
+        lg.on_epoch_end(fake_trainer(0, 1), {"ok": 2.0, "bad": float("nan")})
+        assert lg.log_dir.endswith("version_0")
+        files = [f for f in os.listdir(lg.log_dir) if f.startswith("events.out")]
+        (ev,) = [e for e in read_events(os.path.join(lg.log_dir, files[0]))
+                 if e["values"]]
+        assert "bad" not in ev["values"] and ev["values"]["ok"] == 2.0
+        assert TensorBoardLogger(
+            save_dir=str(tmp_path), name="exp"
+        ).log_dir.endswith("version_1")
+
+    def test_log_hyperparams_and_trainer_wiring(self, tmp_path):
+        from pytorch_retinanet_tpu import OmegaConf, Trainer
+        from pytorch_retinanet_tpu.engine import TensorBoardLogger
+
+        lg = TensorBoardLogger(save_dir=str(tmp_path))
+        lg.log_hyperparams(OmegaConf.create({"model": {"num_classes": 3}}))
+        assert "num_classes" in open(
+            os.path.join(lg.log_dir, "hparams.yaml")
+        ).read()
+        trainer = Trainer(max_epochs=1, checkpoint_dir=None, logger=lg)
+        assert trainer.logger is lg and lg in trainer.callbacks
+
+
 class TestEarlyStopping:
     def test_stops_after_patience(self):
         es = EarlyStopping(monitor="val_loss", patience=2, mode="min")

@@ -117,6 +117,114 @@ def test_load_state_dict_accepts_reference_schema():
     assert set(out[0]) == {"boxes", "scores", "labels"}
 
 
+class TestTorchExport:
+    """JAX → torch export (models/converter.py flax_retinanet_to_torch): the
+    reverse migration path — weights trained here must load into a reference
+    ``Retinanet`` via its documented ``load_state_dict`` flow."""
+
+    def test_roundtrip_is_exact(self):
+        from pytorch_retinanet_tpu.models.converter import flax_retinanet_to_torch
+
+        oracle = build_oracle("resnet50", TBottleneck, [3, 4, 6, 3], (512, 1024, 2048))
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        params, stats = torch_retinanet_to_flax(sd, "resnet50")
+        back = flax_retinanet_to_torch(
+            {"params": params, "batch_stats": stats}, "resnet50"
+        )
+        tracked = {k for k in sd if k.endswith("num_batches_tracked")}
+        assert set(back) == set(sd) | {
+            k for k in back if k.endswith("num_batches_tracked")
+        }
+        for k in set(sd) - tracked:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    def test_export_loads_strict_and_matches_logits(self):
+        """Fresh flax weights → export → torch strict load → logits parity
+        (the mirror image of test_whole_model_logits_parity)."""
+        from pytorch_retinanet_tpu.models.converter import flax_retinanet_to_torch
+
+        module = RetinaNetModule(
+            backbone_kind="resnet18", num_classes=NUM_CLASSES, freeze_bn=True,
+            dtype=jnp.float32,
+        )
+        variables = module.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+        sd = flax_retinanet_to_torch(variables, "resnet18")
+
+        oracle = DetectorOracle(
+            TResNet(TBasicBlock, [2, 2, 2, 2]), (128, 256, 512),
+            num_anchors=9, num_classes=NUM_CLASSES,
+        ).eval()
+        missing, unexpected = oracle.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=True,
+        )
+        assert not missing and not unexpected
+
+        rng = np.random.default_rng(5)
+        img = rng.uniform(size=(2, H, W, 3)).astype(np.float32)
+        mean = np.asarray(C.MEAN, np.float32)
+        std = np.asarray(C.STD, np.float32)
+        with torch.no_grad():
+            tcls, tbox = oracle(
+                torch.from_numpy(((img - mean) / std).transpose(0, 3, 1, 2))
+            )
+        jcls, jbox = module.apply(variables, jnp.asarray(img), False)
+        np.testing.assert_allclose(np.asarray(jcls), tcls.numpy(), rtol=1e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(jbox), tbox.numpy(), rtol=1e-4, atol=5e-4)
+
+    def test_s2d_stem_export(self):
+        """A converted s2d stem exports back to the exact 7x7 kernel; learned
+        out-of-field taps (possible after s2d TRAINING) refuse loudly."""
+        from pytorch_retinanet_tpu.models.converter import _s2d_kernel_to_7x7
+        from pytorch_retinanet_tpu.models.layers import stem_kernel_to_s2d
+
+        rng = np.random.default_rng(7)
+        k7 = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+        k4 = np.asarray(stem_kernel_to_s2d(k7))
+        np.testing.assert_array_equal(_s2d_kernel_to_7x7(k4), k7)
+
+        k8 = (
+            k4.reshape(4, 4, 2, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(8, 8, 3, 64)
+        )
+        k8[0, 4, 1, 2] = 0.5  # an out-of-field tap a trained s2d stem can learn
+        bad = (
+            k8.reshape(4, 2, 4, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, 64)
+        )
+        with pytest.raises(ValueError, match="outside the 7x7"):
+            _s2d_kernel_to_7x7(bad)
+
+    def test_save_and_reference_reload_flow(self, tmp_path):
+        """net.save_torch_state_dict → torch.load → a second net's
+        load_state_dict (the reference's documented save/reload loop, now
+        closed in BOTH directions)."""
+        from pytorch_retinanet_tpu.models.retinanet import Retinanet
+
+        net = Retinanet(
+            num_classes=NUM_CLASSES, backbone_kind="resnet18", pretrained=False,
+            min_size=H, max_size=W,
+        )
+        path = str(tmp_path / "export.pth")
+        net.save_torch_state_dict(path)
+
+        net2 = Retinanet(
+            num_classes=NUM_CLASSES, backbone_kind="resnet18", pretrained=False,
+            min_size=H, max_size=W,
+        )
+        net2.load_state_dict(
+            {k: v.numpy() for k, v in torch.load(path, weights_only=True).items()}
+        )
+        a = np.asarray(net.variables["params"]["head"]["cls_subnet"]["predictor"]["bias"])
+        b = np.asarray(net2.variables["params"]["head"]["cls_subnet"]["predictor"]["bias"])
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        w_a = np.asarray(net.variables["params"]["fpn"]["lateral_c3"]["kernel"])
+        w_b = np.asarray(net2.variables["params"]["fpn"]["lateral_c3"]["kernel"])
+        np.testing.assert_allclose(w_a, w_b, rtol=1e-6, atol=1e-6)
+
+
 def test_full_converter_error_surface():
     oracle = build_oracle("resnet18", TBasicBlock, [2, 2, 2, 2], (128, 256, 512))
     sd = {k: v.numpy() for k, v in oracle.state_dict().items()}

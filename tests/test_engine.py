@@ -524,3 +524,26 @@ class TestGradAccumulationTrainer:
         assert trainer.global_step == 2
         assert trainer._opt_step == 1
         assert trainer.should_stop
+
+
+def test_fit_only_config_needs_no_test_paths(conf, csv_dataset):
+    """A fit-only csv config (no test_paths/valid_paths) must prepare
+    cleanly — test_ds stays None and test_dataloader raises a guided error
+    instead of crashing in PascalDataset(None) (r3 verify-drive regression)."""
+    fit_conf = OmegaConf.create(
+        {
+            "model": dict(conf.model),
+            "dataset": {"kind": "csv", "trn_paths": csv_dataset,
+                        "valid_paths": False},
+            "dataloader": dict(conf.dataloader),
+            "optimizer": dict(conf.optimizer),
+        }
+    )
+    model = RetinaNetModel(fit_conf)
+    model.prepare_data()
+    assert model.trn_ds is not None
+    assert model.val_ds is None and model.test_ds is None
+    with pytest.raises(ValueError, match="test_paths"):
+        model.test_dataloader()
+    with pytest.raises(ValueError, match="test_paths"):
+        model.test_evaluator()

@@ -148,6 +148,137 @@ class TestStemKernel:
         assert not fused_stem_supported((2, 64, 96, 12))  # packed channels
         assert not fused_stem_supported((64, 96, 3))
 
+    def test_sharded_stem_matches_direct(self, stem_setup):
+        """shard_map over the batch axis must be bit-equivalent to the direct
+        kernel call (the grid is per-image; splitting the batch across
+        devices changes nothing per image)."""
+        from pytorch_retinanet_tpu.parallel.sharding import (
+            make_inference_mesh,
+            make_sharded_stem,
+        )
+
+        rng = np.random.default_rng(4)
+        images = jnp.asarray(rng.random((4, 64, 96, 3), np.float32))
+        module = RetinaNetModule(backbone_kind="resnet18", num_classes=5)
+        variables = module.init(jax.random.PRNGKey(0), images)
+        plan = make_inference_mesh(data=4)
+        direct = fused_stem(
+            variables, images, mean=module.mean, std=module.std, interpret=True
+        )
+        sharded = make_sharded_stem(module, plan.mesh, interpret=True)(
+            variables, images
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded, np.float32), np.asarray(direct, np.float32)
+        )
+
+    def test_sharded_stem_gradients(self, stem_setup):
+        """The custom VJP must transpose through shard_map (multi-chip
+        freeze_bn training with the fast stem)."""
+        from pytorch_retinanet_tpu.parallel.sharding import (
+            make_inference_mesh,
+            make_sharded_stem,
+        )
+
+        rng = np.random.default_rng(5)
+        images = jnp.asarray(rng.random((2, 64, 96, 3), np.float32))
+        module = RetinaNetModule(backbone_kind="resnet18", num_classes=5)
+        variables = module.init(jax.random.PRNGKey(0), images)
+        plan = make_inference_mesh(data=2)
+        stem_fn = make_sharded_stem(module, plan.mesh, interpret=True)
+
+        def loss_sharded(v):
+            return jnp.sum(stem_fn(v, images).astype(jnp.float32) ** 2)
+
+        def loss_direct(v):
+            return jnp.sum(
+                fused_stem(
+                    v, images, mean=module.mean, std=module.std, interpret=True
+                ).astype(jnp.float32)
+                ** 2
+            )
+
+        gs = jax.grad(loss_sharded)(variables)
+        gd = jax.grad(loss_direct)(variables)
+        ks = np.asarray(
+            gs["params"]["backbone"]["stem_conv"]["kernel"], np.float32
+        )
+        kd = np.asarray(
+            gd["params"]["backbone"]["stem_conv"]["kernel"], np.float32
+        )
+        assert np.abs(ks).max() > 0  # actually flowed
+        # per-shard backward recompute sums in a different order than the
+        # whole-batch VJP: bf16 tolerance, same band as the direct-vs-XLA
+        # gradient test above
+        np.testing.assert_allclose(ks, kd, atol=4.0, rtol=0.06)
+
+    def test_sharded_stem_gate(self, monkeypatch):
+        from pytorch_retinanet_tpu.parallel.sharding import (
+            make_inference_mesh,
+            sharded_stem_applicable,
+        )
+        import pytorch_retinanet_tpu.kernels as kernels
+
+        monkeypatch.setattr(kernels, "tpu_available", lambda: True)
+        module = RetinaNetModule(backbone_kind="resnet18", num_classes=3)
+        dp = make_inference_mesh(data=4)
+        assert sharded_stem_applicable(module, (8, 64, 96, 3), dp.mesh)
+        # batch must divide the data axis
+        assert not sharded_stem_applicable(module, (6, 64, 96, 3), dp.mesh)
+        # height-sharded images: partial rows — kernel illegal
+        sp = make_inference_mesh(data=2, spatial=2)
+        assert not sharded_stem_applicable(module, (8, 64, 96, 3), sp.mesh)
+        # model axis alone is fine (redundant recompute)
+        tp = make_inference_mesh(data=2, model=2)
+        assert sharded_stem_applicable(module, (8, 64, 96, 3), tp.mesh)
+        # non-bf16 module / s2d stem disqualify
+        f32 = RetinaNetModule(
+            backbone_kind="resnet18", num_classes=3, dtype=jnp.float32
+        )
+        assert not sharded_stem_applicable(f32, (8, 64, 96, 3), dp.mesh)
+        s2d = RetinaNetModule(
+            backbone_kind="resnet18", num_classes=3, stem_s2d=True
+        )
+        assert not sharded_stem_applicable(s2d, (8, 64, 96, 3), dp.mesh)
+        # off-TPU: gate closed
+        monkeypatch.setattr(kernels, "tpu_available", lambda: False)
+        assert not sharded_stem_applicable(module, (8, 64, 96, 3), dp.mesh)
+
+    def test_apply_detector_mesh_wiring(self, monkeypatch):
+        """apply_detector(mesh=) end-to-end on the 8-device CPU mesh: the
+        sharded stem path must produce the standard forward's logits
+        (interpret-mode kernel forced via the patched factory)."""
+        import functools
+
+        import pytorch_retinanet_tpu.kernels as kernels
+        import pytorch_retinanet_tpu.parallel.sharding as sharding
+        from pytorch_retinanet_tpu.models.retinanet import apply_detector
+        from pytorch_retinanet_tpu.parallel.sharding import make_inference_mesh
+
+        monkeypatch.setattr(kernels, "tpu_available", lambda: True)
+        monkeypatch.setattr(
+            sharding,
+            "make_sharded_stem",
+            functools.partial(sharding.make_sharded_stem, interpret=True),
+        )
+        rng = np.random.default_rng(6)
+        images = jnp.asarray(rng.random((4, 64, 96, 3), np.float32))
+        module = RetinaNetModule(backbone_kind="resnet18", num_classes=5)
+        variables = module.init(jax.random.PRNGKey(0), images)
+        plan = make_inference_mesh(data=4)
+        cls_ref, box_ref = module.apply(variables, images, False)
+        cls_s, box_s = apply_detector(
+            module, variables, images, mesh=plan.mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(cls_s, np.float32), np.asarray(cls_ref, np.float32),
+            atol=0.1, rtol=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(box_s, np.float32), np.asarray(box_ref, np.float32),
+            atol=0.1, rtol=0.1,
+        )
+
     def test_multi_device_gating(self, monkeypatch):
         """fused_stem_applicable must refuse a >1-device context even when
         the TPU/shape checks pass: pallas_call has no SPMD partitioning
