@@ -220,6 +220,9 @@ def set_momentum(opt_state, momentum: float):
 # --------------------------------------------------------------------------- #
 # LR schedulers (torch.optim.lr_scheduler parity, host-side state)
 # --------------------------------------------------------------------------- #
+SCHEDULER_STATE_VERSION = 1
+
+
 class LRScheduler:
     """Base: produces an absolute LR from the step/epoch counter + metric."""
 
@@ -232,6 +235,53 @@ class LRScheduler:
     def step(self, metric: Optional[float] = None) -> float:
         self.t += 1
         return self.lr_at(self.t)
+
+    # -- checkpoint surface (torch lr_scheduler.state_dict parity) -------- #
+    def state_dict(self) -> Dict[str, Any]:
+        """Versioned snapshot of the scheduler's host state (torch parity:
+        ``scheduler.state_dict()`` is every non-callable attribute — LambdaLR
+        excludes its ``lr_lambda`` exactly like torch does). The schema
+        version + class name let :meth:`load_state_dict` fail loudly on a
+        mismatched restore instead of silently mis-restoring (reference
+        scheduler config surface: ``/root/reference/model.py:85-90``)."""
+        state = {k: v for k, v in self.__dict__.items() if not callable(v)}
+        return {
+            "version": SCHEDULER_STATE_VERSION,
+            "class": type(self).__name__,
+            "state": state,
+        }
+
+    def load_state_dict(self, sd: Mapping[str, Any]) -> None:
+        """Strict restore: raises on schema-version, class, or attribute-set
+        mismatch (a scheduler that gained/renamed state between versions must
+        not restore a stale snapshot into the wrong slots)."""
+        if not isinstance(sd, Mapping) or "state" not in sd:
+            raise ValueError(
+                "scheduler checkpoint is not a state_dict() snapshot "
+                f"(got {type(sd).__name__}); expected keys version/class/state"
+            )
+        if sd.get("version") != SCHEDULER_STATE_VERSION:
+            raise ValueError(
+                f"scheduler checkpoint schema version {sd.get('version')!r} "
+                f"!= supported {SCHEDULER_STATE_VERSION} — re-save the "
+                "checkpoint with this framework version"
+            )
+        if sd.get("class") != type(self).__name__:
+            raise ValueError(
+                f"scheduler checkpoint was saved by {sd.get('class')!r} but "
+                f"is being restored into {type(self).__name__!r} — the run "
+                "config's scheduler must match the checkpoint's"
+            )
+        current = {k for k, v in self.__dict__.items() if not callable(v)}
+        saved = set(sd["state"])
+        if saved != current:
+            raise ValueError(
+                f"scheduler state keys do not match {type(self).__name__}: "
+                f"checkpoint is missing {sorted(current - saved)}, has "
+                f"unexpected {sorted(saved - current)} — the scheduler's "
+                "state changed between save and restore"
+            )
+        self.__dict__.update(sd["state"])
 
     def lr_at(self, t: int) -> float:  # pragma: no cover
         raise NotImplementedError
