@@ -6,6 +6,8 @@ model.py:92-110): instead of ragged python tuples, every batch is a dict of
 static-shape numpy arrays ready for ``jax.device_put``:
 
     images      [B, H, W, 3] float32 in [0, 1] — padded resolution bucket
+                (or uint8 raw bytes with ``image_dtype=np.uint8``: the model
+                normalizes from bytes on device — 4x less host work/transfer)
     image_sizes [B, 2] float32 (resized h, w before padding)
     orig_sizes  [B, 2] float32 (pre-resize h, w)
     image_ids   [B] int64
@@ -82,6 +84,7 @@ class DetectionLoader:
         seed: int = 0,
         shard: int = 0,
         num_shards: int = 1,
+        image_dtype=np.float32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -96,6 +99,13 @@ class DetectionLoader:
         self.seed = seed
         self.shard = shard
         self.num_shards = num_shards
+        # uint8 keeps images as raw bytes end-to-end (decode → resize → pad →
+        # batch → device); the model normalizes from bytes on device
+        # (models.retinanet uint8 wire format). 4x less host memcpy +
+        # host→device transfer than float32. Float-valued augmentations
+        # quantize back to bytes under this option — use float32 (default)
+        # when exact float augmentation output matters.
+        self.image_dtype = np.dtype(image_dtype)
         self.epoch = 0
         self._group_ids: Optional[np.ndarray] = None  # lazy, per-dataset-index
 
@@ -150,7 +160,7 @@ class DetectionLoader:
             image, target, image_id = self.dataset[idx]
         orig_h, orig_w = image.shape[:2]
         padded, (new_h, new_w), _ = resize_to_bucket(
-            image, self.min_size, self.max_size
+            image, self.min_size, self.max_size, wire_dtype=self.image_dtype
         )
         boxes = np.asarray(target["boxes"], np.float32).reshape(-1, 4)
         if len(boxes):
@@ -227,7 +237,7 @@ class DetectionLoader:
         n_total = self.batch_size if (self.pad_last and n_real < self.batch_size) else n_real
         max_h = max(s["image"].shape[0] for s in samples)
         max_w = max(s["image"].shape[1] for s in samples)
-        images = np.zeros((n_total, max_h, max_w, 3), np.float32)
+        images = np.zeros((n_total, max_h, max_w, 3), self.image_dtype)
         for i, s in enumerate(samples):
             h, w = s["image"].shape[:2]
             images[i, :h, :w] = s["image"]
@@ -283,15 +293,24 @@ class DetectionLoader:
             return False
 
         def producer() -> None:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idxs, is_filler in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(
-                        pool.map(lambda i: self._load_sample(i, epoch), batch_idxs)
-                    )
-                    if not put_or_stop(self._collate(samples, is_filler=is_filler)):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idxs, is_filler in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(lambda i: self._load_sample(i, epoch), batch_idxs)
+                        )
+                        if not put_or_stop(self._collate(samples, is_filler=is_filler)):
+                            return
+            except BaseException as e:  # noqa: BLE001
+                # A worker exception (bad image path, corrupt file, transform
+                # bug) must surface in the CONSUMER — without this the
+                # producer thread dies silently and the consumer blocks in
+                # q.get() forever (torch DataLoader similarly re-raises
+                # worker exceptions in the main process).
+                put_or_stop(e)
+                return
             put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -301,6 +320,8 @@ class DetectionLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

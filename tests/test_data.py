@@ -340,3 +340,53 @@ class TestOrientationGroupedBatching:
              "categories": [{"id": 1, "name": "x"}]},
         )
         assert coco.get_height_and_width(0) == (30, 50)
+
+
+class TestLoaderWorkerException:
+    def test_worker_exception_propagates_to_consumer(self, tmp_path):
+        """A sample-load failure must re-raise in the iterating thread, not
+        leave the consumer blocked on the prefetch queue forever (torch
+        DataLoader parity for worker exceptions)."""
+        import pandas as pd
+
+        from pytorch_retinanet_tpu.data import DetectionLoader, PascalDataset
+
+        csv = str(tmp_path / "bad.csv")
+        pd.DataFrame(
+            [{"filename": str(tmp_path / "does_not_exist.png"), "width": 80,
+              "height": 100, "class": "car", "xmin": 1.0, "ymin": 1.0,
+              "xmax": 20.0, "ymax": 20.0, "labels": 1}]
+        ).to_csv(csv, index=False)
+        ds = PascalDataset(csv)
+        loader = DetectionLoader(ds, 1, min_size=64, max_size=96, num_workers=1)
+        with pytest.raises(Exception):
+            next(iter(loader))
+
+
+class TestLoaderUint8Wire:
+    def test_uint8_image_dtype_batches(self, tmp_path):
+        """image_dtype=uint8 ships raw bytes: batch images are uint8 and
+        equal the f32 batch up to the /255 quantization grid."""
+        import cv2
+
+        from pytorch_retinanet_tpu.data import DetectionLoader, PascalDataset
+
+        img = np.random.default_rng(0).integers(0, 256, (100, 80, 3), np.uint8)
+        path = str(tmp_path / "im.png")
+        cv2.imwrite(path, img)
+        csv = str(tmp_path / "ds.csv")
+        pd.DataFrame(
+            [{"filename": path, "width": 80, "height": 100, "class": "car",
+              "xmin": 1.0, "ymin": 1.0, "xmax": 20.0, "ymax": 20.0,
+              "labels": 1}]
+        ).to_csv(csv, index=False)
+        ds = PascalDataset(csv)
+        kw = dict(min_size=64, max_size=96, num_workers=1)
+        b8 = next(iter(DetectionLoader(ds, 1, image_dtype=np.uint8, **kw)))
+        bf = next(iter(DetectionLoader(ds, 1, **kw)))
+        assert b8["images"].dtype == np.uint8
+        assert bf["images"].dtype == np.float32
+        np.testing.assert_allclose(
+            b8["images"].astype(np.float32) / 255.0, bf["images"], atol=1 / 255
+        )
+        np.testing.assert_array_equal(b8["boxes"], bf["boxes"])
