@@ -45,6 +45,7 @@ def export_inference(
     batch_size: int,
     bucket: Optional[Tuple[int, int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    wire_dtype: str = "float32",
 ) -> bytes:
     """Serialize the fused inference step for one (batch, bucket) config.
 
@@ -55,11 +56,17 @@ def export_inference(
         bucket (``resolution_buckets(min_size, max_size)[0]``).
       platforms: lowering platforms (default: the current backend).
 
+      wire_dtype: dtype of the image input — "float32" (values in [0, 1])
+        or "uint8" (raw bytes; normalize-from-bytes folds into the traced
+        graph). uint8 cuts host->device transfer 4x per request — the
+        serving wire format (tools/bench_latency.py measures it).
+
     Returns:
       Serialized ``jax.export`` artifact bytes. Inputs of the exported
-      program: ``images [B, H, W, 3] f32 in [0, 1]``, ``image_sizes [B, 2]
-      f32`` (resized-image (h, w) per row, for box clipping). Outputs:
-      ``(boxes [B, D, 4], scores [B, D], labels [B, D], valid [B, D])``.
+      program: ``images [B, H, W, 3]`` (f32 in [0, 1], or uint8 raw),
+      ``image_sizes [B, 2] f32`` (resized-image (h, w) per row, for box
+      clipping). Outputs: ``(boxes [B, D, 4], scores [B, D], labels [B, D],
+      valid [B, D])``.
     """
     from .models.retinanet import resolution_buckets
 
@@ -72,8 +79,10 @@ def export_inference(
         det = net._predict_impl(variables, images, image_sizes)
         return det.boxes, det.scores, det.labels, det.valid
 
+    if wire_dtype not in ("float32", "uint8"):
+        raise ValueError(f"wire_dtype must be float32 or uint8, got {wire_dtype!r}")
     args = (
-        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.dtype(wire_dtype)),
         jax.ShapeDtypeStruct((batch_size, 2), jnp.float32),
     )
     exported = jax.export.export(
@@ -88,6 +97,7 @@ def save_exported(
     batch_size: int,
     bucket: Optional[Tuple[int, int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    wire_dtype: str = "float32",
 ) -> str:
     """``export_inference`` to a file; returns the path.
 
@@ -97,7 +107,7 @@ def save_exported(
     800/1344, a slightly different input distribution for long images)."""
     import json
 
-    blob = export_inference(net, batch_size, bucket, platforms)
+    blob = export_inference(net, batch_size, bucket, platforms, wire_dtype)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
@@ -109,6 +119,7 @@ def save_exported(
         "backbone": net.backbone_kind,
         "score_thres": float(net.score_thres),
         "nms_thres": float(net.nms_thres),
+        "wire_dtype": wire_dtype,
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=1)
@@ -135,9 +146,11 @@ def load_exported(blob_or_path: Union[bytes, str]):
         blob = bytes(blob_or_path)
     exported = jax.export.deserialize(blob)
 
+    wire = exported.in_avals[0].dtype
+
     def infer(images, image_sizes):
         boxes, scores, labels, valid = exported.call(
-            jnp.asarray(images, jnp.float32), jnp.asarray(image_sizes, jnp.float32)
+            jnp.asarray(images, wire), jnp.asarray(image_sizes, jnp.float32)
         )
         return {
             "boxes": np.asarray(boxes),
@@ -146,6 +159,17 @@ def load_exported(blob_or_path: Union[bytes, str]):
             "valid": np.asarray(valid),
         }
 
+    def dispatch(images, image_sizes):
+        """Async form: enqueue the program and return DEVICE arrays
+        (boxes, scores, labels, valid) without waiting — JAX's async
+        dispatch overlaps this request's compute with the previous
+        request's host fetch. Use for request pipelining (examples/serve.py);
+        ``np.asarray``/``jax.device_get`` the results to fetch."""
+        return exported.call(
+            jnp.asarray(images, wire), jnp.asarray(image_sizes, jnp.float32)
+        )
+
+    infer.dispatch = dispatch
     infer.in_avals = exported.in_avals
     infer.platforms = exported.platforms
     infer.meta = meta  # sidecar metadata (true resize rule), None if absent

@@ -90,6 +90,11 @@ class RetinaNetModule(nn.Module):
             if stem_in is None:
                 mean = jnp.asarray(self.mean, dtype=jnp.float32)
                 std = jnp.asarray(self.std, dtype=jnp.float32)
+                if images.dtype == jnp.uint8:
+                    # uint8 wire format (serving sends raw bytes, 4x fewer
+                    # than f32): fold the /255 into the constants so
+                    # normalize stays ONE fused op.
+                    mean, std = mean * 255.0, std * 255.0
                 x = (images.astype(jnp.float32) - mean) / std
             else:
                 # stem_in is the fused Pallas stem's output on the ALREADY
@@ -182,12 +187,20 @@ def apply_detector(
         else:
             use_fused_stem = fused_stem_applicable(module, images.shape)
     if use_fused_stem:
+        mean, std = module.mean, module.std
+        if images.dtype == jnp.uint8:
+            # uint8 wire format: fused_stem casts to f32 and normalizes, so
+            # the /255 folds into the normalize constants (zero extra ops).
+            mean = tuple(m * 255.0 for m in mean)
+            std = tuple(s * 255.0 for s in std)
         if sharded:
             from ..parallel.sharding import make_sharded_stem
 
-            stem = make_sharded_stem(module, mesh)(variables, images)
+            stem = make_sharded_stem(module, mesh, mean=mean, std=std)(
+                variables, images
+            )
         else:
-            stem = fused_stem(variables, images, mean=module.mean, std=module.std)
+            stem = fused_stem(variables, images, mean=mean, std=std)
         if use_fused_trunk:
             # Opt-in kernel-fused trunk (models/fused_backbone.py): identity
             # bottlenecks as single VMEM-resident Pallas passes. Compiled
@@ -220,7 +233,7 @@ def resolution_buckets(min_size: int, max_size: int) -> Tuple[Tuple[int, int], .
 
 
 def resize_to_bucket(
-    image: np.ndarray, min_size: int, max_size: int
+    image: np.ndarray, min_size: int, max_size: int, *, wire_dtype=np.float32
 ) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
     """Host-side: reference resize rule + pad into the orientation bucket.
 
@@ -229,9 +242,13 @@ def resize_to_bucket(
 
     Args:
       image: HWC float or uint8 array (any channel count; RGB expected).
+      wire_dtype: dtype of the padded output — ``np.float32`` (values in
+        [0, 1], the default) or ``np.uint8`` (raw bytes; the device program
+        normalizes from bytes). uint8 is the serving wire format: 4x fewer
+        host→device bytes per request.
 
     Returns:
-      (padded HWC float32 in [0,1], resized (h, w) before padding,
+      (padded HWC array in ``wire_dtype``, resized (h, w) before padding,
        original (h, w)).
     """
     import cv2
@@ -242,7 +259,13 @@ def resize_to_bucket(
     resized = cv2.resize(
         np.asarray(image), (new_w, new_h), interpolation=cv2.INTER_LINEAR
     )
-    if resized.dtype == np.uint8:
+    wire_dtype = np.dtype(wire_dtype)
+    if wire_dtype == np.uint8:
+        if resized.dtype != np.uint8:
+            resized = np.clip(np.asarray(resized, np.float32) * 255.0, 0, 255).astype(
+                np.uint8
+            )
+    elif resized.dtype == np.uint8:
         resized = resized.astype(np.float32) / 255.0
     else:
         resized = resized.astype(np.float32)
@@ -251,7 +274,7 @@ def resize_to_bucket(
     else:
         pad_h, pad_w = _ceil32(min_size), _ceil32(max_size)
     pad_h, pad_w = max(pad_h, new_h), max(pad_w, new_w)
-    out = np.zeros((pad_h, pad_w, resized.shape[2]), np.float32)
+    out = np.zeros((pad_h, pad_w, resized.shape[2]), wire_dtype)
     out[:new_h, :new_w] = resized
     return out, (new_h, new_w), (orig_h, orig_w)
 

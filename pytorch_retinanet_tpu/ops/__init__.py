@@ -28,10 +28,12 @@ from .matcher import BACKGROUND, IGNORE, MatchResult, match_anchors, match_ancho
 from .nms import (
     Detections,
     nms_keep_mask,
+    pack_detections,
     process_detections,
     process_detections_batch,
     process_detections_multilevel,
     process_detections_multilevel_batch,
+    unpack_detections,
 )
 
 __all__ = [
@@ -52,6 +54,7 @@ __all__ = [
     "match_anchors",
     "match_anchors_batch",
     "nms_keep_mask",
+    "pack_detections",
     "num_anchors_per_location",
     "process_detections",
     "process_detections_batch",
@@ -59,6 +62,7 @@ __all__ = [
     "process_detections_multilevel_batch",
     "rescale_boxes",
     "retinanet_loss",
+    "unpack_detections",
     "retinanet_loss_levels",
     "sigmoid_focal_loss",
     "small_box_mask",

@@ -244,7 +244,15 @@ def sharded_stem_applicable(module, image_shape, mesh: Mesh, axis: str = "data")
     )
 
 
-def make_sharded_stem(module, mesh: Mesh, *, axis: str = "data", interpret: bool = False):
+def make_sharded_stem(
+    module,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    interpret: bool = False,
+    mean=None,
+    std=None,
+):
     """Batch-sharded fused Pallas stem: ``pallas_call`` has no SPMD
     partitioning rule, so under a >1-device mesh the kernel must be wrapped in
     ``shard_map`` over the batch axis — each device runs the kernel on its
@@ -261,6 +269,9 @@ def make_sharded_stem(module, mesh: Mesh, *, axis: str = "data", interpret: bool
 
     from ..kernels import fused_stem
 
+    mean = module.mean if mean is None else mean
+    std = module.std if std is None else std
+
     @_partial(
         jax.shard_map,
         mesh=mesh,
@@ -270,8 +281,7 @@ def make_sharded_stem(module, mesh: Mesh, *, axis: str = "data", interpret: bool
     )
     def _stem(stem_vars, images):
         return fused_stem(
-            stem_vars, images, mean=module.mean, std=module.std,
-            interpret=interpret,
+            stem_vars, images, mean=mean, std=std, interpret=interpret,
         )
 
     def stem(variables, images):

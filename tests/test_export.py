@@ -55,3 +55,52 @@ class TestExport:
         assert infer.meta is not None
         assert infer.meta["min_size"] == net.min_size
         assert infer.meta["max_size"] == net.max_size
+
+
+class TestUint8Export:
+    def test_uint8_artifact_matches_f32(self, net, tmp_path):
+        """An artifact exported with wire_dtype=uint8 takes raw bytes and
+        produces the same detections as the f32 artifact fed bytes/255."""
+        import jax.numpy as jnp
+
+        from pytorch_retinanet_tpu.export import save_exported
+
+        bucket = resolution_buckets(net.min_size, net.max_size)[0]
+        p8 = save_exported(
+            net, str(tmp_path / "u8.stablehlo"), 1, bucket, wire_dtype="uint8"
+        )
+        infer8 = load_exported(p8)
+        assert infer8.in_avals[0].dtype == np.uint8
+        assert infer8.meta["wire_dtype"] == "uint8"
+
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (1, *bucket, 3), np.uint8)
+        sizes = np.asarray([bucket], np.float32)
+        out8 = infer8(u8, sizes)
+        direct = net._predict_fn(
+            net.variables,
+            jnp.asarray(u8.astype(np.float32) / 255.0),
+            jnp.asarray(sizes),
+        )
+        # Same detection set up to folded-constant rounding in bf16.
+        np.testing.assert_array_equal(out8["valid"], np.asarray(direct.valid))
+        n = int(out8["valid"].sum())
+        np.testing.assert_allclose(
+            out8["boxes"][0, :n], np.asarray(direct.boxes)[0, :n], atol=0.1
+        )
+        np.testing.assert_allclose(
+            out8["scores"][0, :n], np.asarray(direct.scores)[0, :n], atol=1e-3
+        )
+
+    def test_dispatch_is_async_form(self, net, tmp_path):
+        from pytorch_retinanet_tpu.export import save_exported
+
+        bucket = resolution_buckets(net.min_size, net.max_size)[0]
+        path = save_exported(net, str(tmp_path / "d.stablehlo"), 1, bucket)
+        infer = load_exported(path)
+        images = np.zeros((1, *bucket, 3), np.float32)
+        sizes = np.asarray([bucket], np.float32)
+        dev = infer.dispatch(images, sizes)
+        assert len(dev) == 4  # boxes, scores, labels, valid device arrays
+        host = infer(images, sizes)
+        np.testing.assert_array_equal(np.asarray(dev[3]), host["valid"])

@@ -121,3 +121,67 @@ class TestRetinanetObject:
         b = jax.tree_util.tree_leaves(net2.variables)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestUint8Wire:
+    """uint8 wire format: the device program normalizes from raw bytes (the
+    /255 folds into the normalize constants) — same results as the f32 [0,1]
+    input path, 4x fewer host->device bytes per request."""
+
+    def test_uint8_forward_matches_f32(self):
+        size = (64, 96)
+        m = RetinaNetModule(backbone_kind="resnet18", num_classes=4)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)))
+        u8 = np.random.default_rng(0).integers(0, 256, (2, *size, 3), np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        cls_u, box_u = m.apply(v, jnp.asarray(u8))
+        cls_f, box_f = m.apply(v, jnp.asarray(f32))
+        # Same math up to the folded-constant rounding (bf16 trunk).
+        np.testing.assert_allclose(
+            np.asarray(cls_u), np.asarray(cls_f), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(box_u), np.asarray(box_f), rtol=1e-4, atol=1e-5
+        )
+
+    def test_resize_to_bucket_uint8_wire(self):
+        img = np.random.default_rng(0).integers(0, 256, (100, 80, 3), np.uint8)
+        padded_u8, hw_u8, orig_u8 = resize_to_bucket(
+            img, 64, 96, wire_dtype=np.uint8
+        )
+        padded_f32, hw_f32, orig_f32 = resize_to_bucket(img, 64, 96)
+        assert padded_u8.dtype == np.uint8
+        assert padded_f32.dtype == np.float32
+        assert padded_u8.shape == padded_f32.shape
+        assert hw_u8 == hw_f32 and orig_u8 == orig_f32
+        np.testing.assert_allclose(
+            padded_u8.astype(np.float32) / 255.0, padded_f32, atol=1e-6
+        )
+
+
+class TestPackedDetections:
+    def test_pack_unpack_roundtrip(self):
+        from pytorch_retinanet_tpu.ops import (
+            Detections,
+            pack_detections,
+            unpack_detections,
+        )
+
+        rng = np.random.default_rng(0)
+        det = Detections(
+            boxes=jnp.asarray(rng.random((2, 5, 4), np.float32) * 100),
+            scores=jnp.asarray(rng.random((2, 5), np.float32)),
+            labels=jnp.asarray(rng.integers(1, 9, (2, 5)), jnp.int32),
+            valid=jnp.asarray([[1, 1, 0, 1, 0], [0, 1, 1, 0, 0]], bool),
+        )
+        packed = pack_detections(det)
+        assert packed.shape == (2, 5, 6)
+        out = unpack_detections(np.asarray(packed))
+        np.testing.assert_allclose(out.boxes, np.asarray(det.boxes), rtol=1e-6)
+        np.testing.assert_allclose(out.scores, np.asarray(det.scores), rtol=1e-6)
+        np.testing.assert_array_equal(out.valid, np.asarray(det.valid))
+        # labels agree wherever valid; invalid rows are 0-marked
+        np.testing.assert_array_equal(
+            out.labels[out.valid], np.asarray(det.labels)[np.asarray(det.valid)]
+        )
+        assert (out.labels[~out.valid] == 0).all()

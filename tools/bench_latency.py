@@ -8,11 +8,30 @@ times that full path per batch size and writes LATENCY.json.
     python tools/bench_latency.py [--batches 1,2,4,8] [--iters 30]
 
 Per batch size it reports:
-  p50_ms / p90_ms  wall-clock per request (transfer + compute + fetch)
-  compute_ms       device-only forward+post (scalar-forced, the
-                   CLAUDE.md axon timing rule)
-  img_per_sec      throughput at that batch (latency-bound, NOT bench.py's
-                   saturated number)
+  p50_ms / p90_ms   wall-clock per request, detections fetched as the
+                    4-array pytree (the r3 serving path, kept for delta)
+  p50_packed_ms     same request but fetching ONE packed [B, D, 6] buffer
+                    (ops.pack_detections — one transfer round trip, not 4)
+  p50_pipelined_ms  packed requests at pipeline depth 2: request i+1 is
+                    dispatched before request i's detections are fetched
+                    (examples/serve.py's loop), amortizing dispatch/fetch
+                    round trips under device compute
+  compute_ms        device-only forward+post (scalar-forced, the CLAUDE.md
+                    axon timing rule)
+  dispatch_ms       time for the async jit call to RETURN (enqueue cost —
+                    no compute, no fetch)
+  fetch4_ms / fetch1_ms
+                    device→host fetch of an ALREADY-COMPLETE result: the
+                    4-array pytree vs the single packed buffer. These two
+                    attribute the p50-vs-compute gap (r3 ADVICE: the gap is
+                    dispatch + detection fetch, NOT image transfer — images
+                    are staged on device before the timed loop).
+  img_per_sec       throughput at that batch from the PIPELINED path
+
+It also measures the image-transfer cost once per batch size, f32 vs uint8
+wire format (scalar-forced; on this dev harness host→device goes through a
+remote tunnel, so the absolute number measures the harness — the 4x byte
+ratio is the framework-relevant part).
 
 The reference has no serving story at all (deployment = torch.save +
 python reload, SURVEY §2.2); this quantifies ours (examples/serve.py /
@@ -38,6 +57,11 @@ from pytorch_retinanet_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
+def _p(lat, q):
+    lat = sorted(lat)
+    return lat[min(int(len(lat) * q), len(lat) - 1)]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,2,4,8")
@@ -50,6 +74,7 @@ def main() -> None:
     from pytorch_retinanet_tpu.models.retinanet import apply_detector
     from pytorch_retinanet_tpu.ops import (
         generate_anchors_per_level,
+        pack_detections,
         process_detections_multilevel_batch,
     )
 
@@ -65,6 +90,10 @@ def main() -> None:
             cls_l, box_l, anchors_levels, image_sizes
         )
 
+    @jax.jit
+    def infer_packed(variables, images, image_sizes):
+        return pack_detections(infer(variables, images, image_sizes))
+
     # Device-only timing obeys the axon rule: reduce to a scalar + device_get.
     @jax.jit
     def infer_scalar(variables, images, image_sizes):
@@ -75,9 +104,7 @@ def main() -> None:
     rows = []
     for b in (int(x) for x in args.batches.split(",")):
         host_imgs = rng.random((b, *size, 3), dtype=np.float32)
-        host_sizes = np.tile(
-            np.asarray([[800.0, 1333.0]], np.float32), (b, 1)
-        )
+        host_sizes = np.tile(np.asarray([[800.0, 1333.0]], np.float32), (b, 1))
         # Device-staged inputs: the compute latency a co-located server
         # sees. (On this dev harness, host->device goes through a remote
         # tunnel at ~10s of MB/request — that transfer measures the
@@ -88,13 +115,32 @@ def main() -> None:
         def request() -> float:
             t0 = time.perf_counter()
             det = infer(variables, dev_imgs, dev_sizes)
-            # Serving fetches the (small) detections to the host.
-            jax.device_get(det)
+            jax.device_get(det)  # 4-array pytree fetch (r3 path)
+            return (time.perf_counter() - t0) * 1e3
+
+        def request_packed() -> float:
+            t0 = time.perf_counter()
+            packed = infer_packed(variables, dev_imgs, dev_sizes)
+            jax.device_get(packed)  # ONE buffer fetch
             return (time.perf_counter() - t0) * 1e3
 
         request()  # compile + warm
-        lat = sorted(request() for _ in range(args.iters))
+        request_packed()
+        lat = [request() for _ in range(args.iters)]
+        lat_packed = [request_packed() for _ in range(args.iters)]
 
+        # Pipelined (depth 2): dispatch i+1 before fetching i — the
+        # examples/serve.py loop. Per-request time = wall / iters.
+        pending = infer_packed(variables, dev_imgs, dev_sizes)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            nxt = infer_packed(variables, dev_imgs, dev_sizes)
+            jax.device_get(pending)
+            pending = nxt
+        jax.device_get(pending)
+        pipelined_ms = (time.perf_counter() - t0) / (args.iters + 1) * 1e3
+
+        # Device-only compute (scalar-forced).
         float(jax.device_get(infer_scalar(variables, dev_imgs, dev_sizes)))
         t0 = time.perf_counter()
         for _ in range(args.iters):
@@ -102,38 +148,65 @@ def main() -> None:
         float(jax.device_get(out))
         compute_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
-        # Force the transferred buffer through a scalar reduction: on this
-        # harness block_until_ready on a large array returns early
-        # (CLAUDE.md axon timing rule), under-measuring the transfer.
-        reduce = jax.jit(lambda a: jnp.sum(a))
-        float(jax.device_get(reduce(dev_imgs)))  # compile + warm the reduce
+        # --- gap attribution (r3 ADVICE): dispatch + fetch, separately ---
+        t0 = time.perf_counter()
+        det = infer(variables, dev_imgs, dev_sizes)  # async: enqueue only
+        dispatch_ms = (time.perf_counter() - t0) * 1e3
+        jax.block_until_ready(det)
+        time.sleep(0.05)  # result certainly complete: fetch-only timing next
+        t0 = time.perf_counter()
+        jax.device_get(det)
+        fetch4_ms = (time.perf_counter() - t0) * 1e3
+        packed = infer_packed(variables, dev_imgs, dev_sizes)
+        jax.block_until_ready(packed)
+        time.sleep(0.05)
+        t0 = time.perf_counter()
+        jax.device_get(packed)
+        fetch1_ms = (time.perf_counter() - t0) * 1e3
+
+        # Image transfer, f32 vs uint8 wire (scalar-forced: block_until_ready
+        # on a large array returns early on this harness, CLAUDE.md).
+        reduce = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+        host_u8 = (host_imgs * 255).astype(np.uint8)
+        float(jax.device_get(reduce(dev_imgs)))  # compile + warm f32
         t0 = time.perf_counter()
         float(jax.device_get(reduce(jnp.asarray(host_imgs))))
-        transfer_ms = (time.perf_counter() - t0) * 1e3
+        transfer_f32_ms = (time.perf_counter() - t0) * 1e3
+        float(jax.device_get(reduce(jnp.asarray(host_u8))))  # compile u8
+        t0 = time.perf_counter()
+        float(jax.device_get(reduce(jnp.asarray(host_u8))))
+        transfer_u8_ms = (time.perf_counter() - t0) * 1e3
 
-        p50 = lat[len(lat) // 2]
-        p90 = lat[int(len(lat) * 0.9)]
-        rows.append(
-            {
-                "batch": b,
-                "p50_ms": round(p50, 2),
-                "p90_ms": round(p90, 2),
-                "compute_ms": round(compute_ms, 2),
-                "host_transfer_ms": round(transfer_ms, 2),
-                "img_per_sec": round(b / (compute_ms / 1e3), 1),
-            }
-        )
-        print(
-            f"bs{b}: p50 {p50:7.2f} ms  p90 {p90:7.2f} ms  "
-            f"compute {compute_ms:7.2f} ms  xfer {transfer_ms:7.2f} ms  "
-            f"{rows[-1]['img_per_sec']:6.1f} img/s"
-        )
+        row = {
+            "batch": b,
+            "p50_ms": round(_p(lat, 0.5), 2),
+            "p90_ms": round(_p(lat, 0.9), 2),
+            "p50_packed_ms": round(_p(lat_packed, 0.5), 2),
+            "p50_pipelined_ms": round(pipelined_ms, 2),
+            "compute_ms": round(compute_ms, 2),
+            "dispatch_ms": round(dispatch_ms, 2),
+            "fetch4_ms": round(fetch4_ms, 2),
+            "fetch1_ms": round(fetch1_ms, 2),
+            "host_transfer_f32_ms": round(transfer_f32_ms, 2),
+            "host_transfer_u8_ms": round(transfer_u8_ms, 2),
+            "img_per_sec": round(b / (pipelined_ms / 1e3), 1),
+        }
+        rows.append(row)
+        print(json.dumps(row))
 
     out_path = os.path.join(os.path.dirname(__file__), "..", "LATENCY.json")
     payload = {
         "metric": f"serving_latency_resnet50_{size[0]}x{size[1]}",
         "backend": jax.default_backend(),
         "unit": "ms/request",
+        "note": (
+            "p50/p90: dispatch+compute+fetch per request, images staged on "
+            "device (no per-request image transfer in the timed loop). "
+            "host_transfer_*: separate scalar-forced staging cost through "
+            "this harness's remote tunnel (measures the tunnel; the f32/u8 "
+            "ratio is the framework-relevant part). img_per_sec is the "
+            "PIPELINED packed path."
+        ),
         "rows": rows,
     }
     with open(out_path, "w") as f:

@@ -12,8 +12,10 @@ size; JPEG quality 90):
   decode      cv2.imread + BGR->RGB           (data/pascal.py:load_image)
   sample      decode + aug + resize-to-bucket + GT pad  (loader._load_sample)
   pipeline    full DetectionLoader iteration incl. collate + prefetch queue
+              (measured for BOTH image dtypes: float32 and the uint8 wire
+              format, which skips the f32 convert + 4x the memcpy bytes)
 
-Writes LOADER_BENCH.json and prints one JSON line. The `implied_cores`
+Writes LOADER.json and prints one JSON line. The `implied_cores`
 numbers are per-image host cost x measured device rate: how many host cores
 a production deployment needs per chip (TPU-VM hosts ship 100+ vCPUs; this
 container has 1, so the bench reports COST, not achievable throughput —
@@ -85,7 +87,7 @@ def main() -> None:
     ap.add_argument("--min-size", type=int, default=800)
     ap.add_argument("--max-size", type=int, default=1333)
     ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--out", default="LOADER_BENCH.json")
+    ap.add_argument("--out", default="LOADER.json")
     args = ap.parse_args()
 
     from pytorch_retinanet_tpu.data import DetectionLoader, PascalDataset
@@ -113,14 +115,20 @@ def main() -> None:
     )
 
     # Stage 3: full pipeline (adds collate into pinned fixed-shape arrays +
-    # the prefetch queue machinery).
-    def drain():
+    # the prefetch queue machinery) — f32 and the uint8 wire format.
+    def drain(ld):
         count = 0
-        for batch in loader:
+        for batch in ld:
             count += int(batch["batch_mask"].sum())
         assert count == n, (count, n)
 
-    pipeline_ms = time_per_image(drain, n)
+    pipeline_ms = time_per_image(lambda: drain(loader), n)
+    loader_u8 = DetectionLoader(
+        PascalDataset(csv_path),  # no ToFloat: bytes stay bytes end-to-end
+        args.batch_size, min_size=args.min_size, max_size=args.max_size,
+        num_workers=1, shuffle=False, image_dtype=np.uint8,
+    )
+    pipeline_u8_ms = time_per_image(lambda: drain(loader_u8), n)
 
     result = {
         "images": n,
@@ -130,16 +138,21 @@ def main() -> None:
             "decode": round(decode_ms, 3),
             "sample_prep": round(sample_ms, 3),
             "full_pipeline": round(pipeline_ms, 3),
+            "full_pipeline_uint8": round(pipeline_u8_ms, 3),
+        },
+        "single_core_img_per_sec": {
+            "float32": round(1e3 / pipeline_ms, 1),
+            "uint8": round(1e3 / pipeline_u8_ms, 1),
         },
         # Host cores per chip = per-image cost x device rate. cv2 decode and
         # resize release the GIL, so DetectionLoader's thread pool spreads
         # this across cores ~linearly until memory bandwidth intervenes.
         "implied_host_cores_per_chip": {
             "inference_at_%.0f_img_s" % DEVICE_INFER_IMG_S: round(
-                pipeline_ms * DEVICE_INFER_IMG_S / 1e3, 2
+                pipeline_u8_ms * DEVICE_INFER_IMG_S / 1e3, 2
             ),
             "training_at_%.0f_img_s" % DEVICE_TRAIN_IMG_S: round(
-                pipeline_ms * DEVICE_TRAIN_IMG_S / 1e3, 2
+                pipeline_u8_ms * DEVICE_TRAIN_IMG_S / 1e3, 2
             ),
         },
         "note": "cost measurement on a 1-core container; production TPU-VM "
@@ -149,7 +162,7 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"metric": "host_pipeline_per_image_ms",
-                      "value": result["per_image_ms"]["full_pipeline"],
+                      "value": result["per_image_ms"]["full_pipeline_uint8"],
                       "unit": "ms/image",
                       "detail": result["implied_host_cores_per_chip"]}))
 

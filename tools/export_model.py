@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--min-size", type=int, default=800)
     ap.add_argument("--max-size", type=int, default=1333)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--wire-dtype", default="float32",
+                    choices=["float32", "uint8"],
+                    help="image input dtype of the exported program; uint8 "
+                    "transfers 4x fewer bytes per request (serving wire)")
     ap.add_argument("--torch-backbone", default=None,
                     help="torchvision ResNet .pth to load into the backbone")
     ap.add_argument("--out-dir", default="exported")
@@ -44,7 +48,10 @@ def main() -> None:
     if args.check:
         infer = load_exported(args.check)
         (b, h, w, _), _ = (a.shape for a in infer.in_avals)
+        wire = infer.in_avals[0].dtype
         images = np.random.default_rng(0).random((b, h, w, 3)).astype(np.float32)
+        if wire == np.uint8:
+            images = (images * 255).astype(np.uint8)
         sizes = np.tile(np.asarray([[h, w]], np.float32), (b, 1))
         out = infer(images, sizes)
         print(
@@ -67,9 +74,10 @@ def main() -> None:
         net.load_torch_backbone(args.torch_backbone)
 
     for bucket in resolution_buckets(args.min_size, args.max_size):
-        name = f"{args.backbone}_{bucket[0]}x{bucket[1]}_b{args.batch}.stablehlo"
+        tag = "_u8" if args.wire_dtype == "uint8" else ""
+        name = f"{args.backbone}_{bucket[0]}x{bucket[1]}_b{args.batch}{tag}.stablehlo"
         path = os.path.join(args.out_dir, name)
-        save_exported(net, path, args.batch, bucket)
+        save_exported(net, path, args.batch, bucket, wire_dtype=args.wire_dtype)
         print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 
 
