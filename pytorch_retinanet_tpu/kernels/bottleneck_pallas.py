@@ -68,7 +68,7 @@ def fold_bn(params, stats, name: str, eps: float = 1e-5):
 def _bottleneck_kernel(
     xp_hbm,   # [B, H+2, W, C] bf16 HBM (rows zero-padded by 1 top/bottom)
     w1_ref,   # [C, mid] bf16 VMEM
-    w2_ref,   # [9*mid, mid] bf16 VMEM (tap-major: rows (3*dy+dx)*mid..+mid)
+    w2_ref,   # [9*mid, mid] bf16 VMEM (tap-major, or dx-major when dy_concat)
     w3_ref,   # [mid, C] bf16 VMEM
     s1_ref, b1_ref,  # [1, mid] f32
     s2_ref, b2_ref,  # [1, mid] f32
@@ -82,6 +82,8 @@ def _bottleneck_kernel(
     real_w: int,  # true image width; cols >= real_w are zero padding
     cin: int,
     mid: int,
+    dy_concat: bool = False,   # conv2 as 3 K=3*mid GEMMs instead of 9 K=mid
+    cout_chunk: int = 0,       # conv3/residual/write in C-chunks (VMEM cap)
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
@@ -131,48 +133,86 @@ def _bottleneck_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (t_rows, width, mid), 1)
         y1 = jnp.where(col < real_w, y1, jnp.bfloat16(0))
 
-    # conv2: 3x3 as NINE accumulated [R*W, mid] x [mid, mid] GEMMs (one per
-    # tap) instead of an im2col patches buffer — no [R*W, 9*mid] concat (its
-    # lane relayouts were the per-cell hot spot) and ~3 MB less VMEM, which
-    # buys a 2x bigger row tile.
     zcol = jnp.zeros((t_rows, 1, mid), jnp.bfloat16)
     y1p = jnp.concatenate([zcol, y1, zcol], axis=1)  # [R+2, W+2, mid]
     acc2 = jnp.zeros((rows * width, mid), jnp.float32)
-    for dy in range(3):
+    if dy_concat:
+        # conv2 as THREE K=3*mid GEMMs (one per dx): for each dx, the three
+        # dy-shifted row slices concat along channels — row-offset slices
+        # need no relayout (rows are the outer dim), and the deeper K feeds
+        # the MXU's 128-deep array instead of nine shallow K=mid passes.
+        # w2_ref rows are dx-major here: [dx*(3*mid) + dy*mid + c, n].
         for dx in range(3):
-            tap = y1p[dy : dy + rows, dx : dx + width, :].reshape(
-                rows * width, mid
-            )
-            w_tap = w2_ref[(3 * dy + dx) * mid : (3 * dy + dx + 1) * mid, :]
+            cdx = jnp.concatenate(
+                [y1p[dy : dy + rows, dx : dx + width, :] for dy in range(3)],
+                axis=-1,
+            ).reshape(rows * width, 3 * mid)
+            w_dx = w2_ref[dx * 3 * mid : (dx + 1) * 3 * mid, :]
             acc2 = acc2 + jax.lax.dot_general(
-                tap, w_tap, (((1,), (0,)), ((), ())),
+                cdx, w_dx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    else:
+        # conv2: 3x3 as NINE accumulated [R*W, mid] x [mid, mid] GEMMs (one
+        # per tap) instead of an im2col patches buffer — no [R*W, 9*mid]
+        # concat (its lane relayouts were the per-cell hot spot) and ~3 MB
+        # less VMEM, which buys a 2x bigger row tile.
+        for dy in range(3):
+            for dx in range(3):
+                tap = y1p[dy : dy + rows, dx : dx + width, :].reshape(
+                    rows * width, mid
+                )
+                w_tap = w2_ref[(3 * dy + dx) * mid : (3 * dy + dx + 1) * mid, :]
+                acc2 = acc2 + jax.lax.dot_general(
+                    tap, w_tap, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     y2 = jnp.maximum(acc2 * s2_ref[:] + b2_ref[:], 0.0).astype(jnp.bfloat16)
 
-    # conv3 + BN + residual + relu, all in the f32 accumulator
-    acc3 = jax.lax.dot_general(
-        y2, w3_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y3 = acc3 * s3_ref[:] + b3_ref[:]
-    residual = x[1 : rows + 1].reshape(rows * width, cin).astype(jnp.float32)
-    out = jnp.maximum(y3 + residual, 0.0).astype(jnp.bfloat16)
-    out_ref[0] = out.reshape(rows, width, cin)
+    # conv3 + BN + residual + relu, all in the f32 accumulator. cout_chunk
+    # bounds the live f32 accumulator to [R*W, chunk] (instead of the full
+    # [R*W, C]) so the row tile R can grow — the per-cell-overhead lever.
+    chunk = cout_chunk or cin
+    for j in range(cin // chunk):
+        acc3 = jax.lax.dot_general(
+            y2, w3_ref[:, j * chunk : (j + 1) * chunk],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y3 = acc3 * s3_ref[:, j * chunk : (j + 1) * chunk] + b3_ref[
+            :, j * chunk : (j + 1) * chunk
+        ]
+        residual = (
+            x[1 : rows + 1, :, j * chunk : (j + 1) * chunk]
+            .reshape(rows * width, chunk)
+            .astype(jnp.float32)
+        )
+        out = jnp.maximum(y3 + residual, 0.0).astype(jnp.bfloat16)
+        out_ref[0, :, :, j * chunk : (j + 1) * chunk] = out.reshape(
+            rows, width, chunk
+        )
 
 
-def _pick_rows(h: int, width: int, cin: int, mid: int) -> int:
+def _pick_rows(
+    h: int,
+    width: int,
+    cin: int,
+    mid: int,
+    cout_chunk: int = 0,
+    budget: int = 10 * 2**20,
+    max_rows: int = 16,
+) -> int:
     """Largest row-tile with H % R == 0 whose working set fits VMEM."""
-    budget = 10 * 2**20  # leave headroom of the ~16 MB VMEM for weights/out
+    acc3_c = cout_chunk or cin
     best = 1
-    for r in range(1, min(h, 16) + 1):
+    for r in range(1, min(h, max_rows) + 1):
         if h % r:
             continue
         need = (
             2 * (r + 2) * width * cin * 2          # double-buffered input
             + (r + 2) * width * mid * 2            # y1
             + r * width * mid * 4                  # conv2 f32 accumulator
-            + r * width * cin * 4                  # conv3 f32 accumulator
+            + r * width * acc3_c * 4               # conv3 f32 accumulator
             + r * width * cin * 2                  # output block
         )
         if need <= budget:
@@ -186,19 +226,33 @@ def _fused_bottleneck_impl(
     w2: Array, s2: Array, b2: Array,
     w3: Array, s3: Array, b3: Array,
     interpret: bool,
+    *,
+    dy_concat: bool = False,
+    cout_chunk: int = 0,
+    vmem_budget: int = 10 * 2**20,
+    max_rows: int = 16,
 ) -> Array:
     b, h, w, c = x.shape
     mid = w1.shape[-1]
     w8 = -(-w // 8) * 8  # Mosaic: sliced second-minor dims must tile by 8
-    rows = _pick_rows(h, w8, c, mid)
+    rows = _pick_rows(h, w8, c, mid, cout_chunk, vmem_budget, max_rows)
     xp = jnp.pad(
         x.astype(jnp.bfloat16), ((0, 0), (1, 1), (0, w8 - w), (0, 0))
     )
-    # [3, 3, mid, mid] HWIO → tap-major GEMM form [9*mid, mid]
-    w2g = w2.astype(jnp.bfloat16).reshape(9 * mid, mid)
+    if dy_concat:
+        # [3, 3, mid, mid] HWIO → dx-major GEMM form: row (dx, dy, c) → n
+        w2g = (
+            w2.astype(jnp.bfloat16)
+            .transpose(1, 0, 2, 3)
+            .reshape(9 * mid, mid)
+        )
+    else:
+        # [3, 3, mid, mid] HWIO → tap-major GEMM form [9*mid, mid]
+        w2g = w2.astype(jnp.bfloat16).reshape(9 * mid, mid)
 
     kernel = functools.partial(
-        _bottleneck_kernel, rows=rows, width=w8, real_w=w, cin=c, mid=mid
+        _bottleneck_kernel, rows=rows, width=w8, real_w=w, cin=c, mid=mid,
+        dy_concat=dy_concat, cout_chunk=cout_chunk,
     )
     const = lambda arr: pl.BlockSpec(  # noqa: E731
         arr.shape, lambda bb, qq: (0,) * arr.ndim, memory_space=pltpu.VMEM

@@ -174,3 +174,35 @@ class TestFusedTrunkVsModule:
         np.testing.assert_allclose(
             np.asarray(box_a), np.asarray(box_b), atol=1e-5, rtol=1e-5
         )
+
+
+class TestKernelVariants:
+    """Round-4 kernel variants (docs/ROOFLINE_BACKBONE.md follow-ups):
+    dy-concat conv2 (3 deep GEMMs) and C-chunked conv3 — same math, measured
+    on chip by tools/experiments/bottleneck_variants.py."""
+
+    @pytest.mark.parametrize(
+        "opts",
+        [
+            {"dy_concat": True},
+            {"cout_chunk": 128},
+            {"dy_concat": True, "cout_chunk": 128, "max_rows": 32,
+             "vmem_budget": int(12.5 * 2**20)},
+        ],
+    )
+    @pytest.mark.parametrize("h,w,cin,mid", [(8, 24, 256, 64), (10, 12, 512, 128)])
+    def test_variant_interpret_matches_reference(self, h, w, cin, mid, opts):
+        from pytorch_retinanet_tpu.kernels.bottleneck_pallas import (
+            _fused_bottleneck_impl,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 1, (2, h, w, cin)).astype(np.float32))
+        args = rand_block(rng, cin, mid)
+        ref = np.asarray(bottleneck_reference_xla(x, *args), np.float32)
+        got = np.asarray(
+            _fused_bottleneck_impl(x, *args, interpret=True, **opts), np.float32
+        )
+        tol = 0.04 * max(float(np.abs(ref).max()), 1.0)
+        np.testing.assert_allclose(got, ref, atol=tol, rtol=0.05)
+        assert ((ref == 0) == (got == 0)).mean() > 0.98
