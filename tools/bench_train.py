@@ -191,11 +191,45 @@ def main() -> None:
         "flat_opt": args.flat_opt,
     })
     print(line)
-    # Persist at the default config so the artifact stays in sync with runs.
-    if (args.backbone, args.height, args.width, args.batch, args.remat,
-        args.flat_opt) == ("resnet50", 800, 1344, 8, False, False):
+    # Patch this point into TRAIN_BENCH.json: a single-point rerun replaces
+    # the matching sweep row (the r3 artifact shipped an HTTP 500 string as
+    # the bs32/remat=False datapoint — reruns must heal it in place), and a
+    # --fused-stem run records the comparison point the trainer's
+    # forward_levels docstring defers to (trainer.py: stem kernel under grad).
+    if (
+        os.path.exists(out_path)
+        and (args.backbone, args.height, args.width) == ("resnet50", 800, 1344)
+        and not args.flat_opt
+    ):
+        with open(out_path) as f:
+            data = json.loads(f.read())
+        point = {
+            "batch": args.batch, "remat": args.remat,
+            "img_per_sec": round(img_s, 2), "step_ms": round(ms, 1),
+        }
+        if use_fused:
+            data["fused_stem_point"] = point
+        else:
+            sweep = data.get("sweep") or []
+            replaced = False
+            for i, p in enumerate(sweep):
+                if p.get("batch") == args.batch and p.get("remat") == args.remat:
+                    sweep[i] = point
+                    replaced = True
+            if not replaced:
+                sweep.append(point)
+            data["sweep"] = sweep
+            ok = [p for p in sweep if "img_per_sec" in p]
+            if ok:  # keep the headline at the sweep's best point
+                best = max(ok, key=lambda p: p["img_per_sec"])
+                data["metric"] = (
+                    f"train_step_{args.backbone}_{args.height}x{args.width}"
+                    f"_bs{best['batch']}" + ("_remat" if best["remat"] else "")
+                )
+                data["value"] = best["img_per_sec"]
+                data["step_ms"] = best["step_ms"]
         with open(out_path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(data) + "\n")
 
 
 if __name__ == "__main__":
