@@ -302,12 +302,16 @@ class Trainer:
 
                 Deliberately NOT using the fused Pallas stem here: freeze_bn
                 training has identical stem semantics (running BN stats) and
-                the kernel's custom VJP exists for exactly this, but the
-                stem-kernel-under-grad train program hit a remote-compile
-                pathology on the bench chip (>30 min, vs ~2 min for the same
-                kernel in the inference program) — measured r3; revisit when
-                the toolchain moves. predict_step keeps the full kernel-fused
-                path (models.retinanet.apply_detector)."""
+                the kernel's custom VJP exists for exactly this — but it is
+                MEASURED SLOWER end-to-end (round 4, TRAIN_BENCH.json
+                fused_stem_point): 47.33 img/s / 338.0 ms vs 57.4 img/s /
+                278.8 ms at bs16. The custom-VJP stem blocks XLA from fusing
+                the stem backward into the trunk's dX/dW pipeline, costing
+                ~59 ms/step against the ~6 ms the forward kernel saves.
+                (The r3 >30 min remote-compile pathology no longer
+                reproduces; the compile completes normally.) predict_step
+                keeps the full kernel-fused path
+                (models.retinanet.apply_detector)."""
                 return module.apply(variables, images, False, return_levels=True)
 
         @partial(jax.jit, donate_argnums=(0,))
