@@ -35,7 +35,8 @@ from pytorch_retinanet_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_step(module, stats, optimizer, size, use_fused_stem):
+def build_step(module, stats, optimizer, size, use_fused_stem,
+               compiler_options=None):
     """One fully-jitted donated train step (mirrors trainer._build_steps)."""
     from pytorch_retinanet_tpu.kernels import fused_stem
     from pytorch_retinanet_tpu.ops import (
@@ -64,10 +65,13 @@ def build_step(module, stats, optimizer, size, use_fused_stem):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    return jax.jit(
+        train_step, donate_argnums=(0, 1), compiler_options=compiler_options
+    )
 
 
-def measure(backbone, size, batch, remat, use_fused_stem, iters, flat_opt=False):
+def measure(backbone, size, batch, remat, use_fused_stem, iters, flat_opt=False,
+            compiler_options=None):
     from pytorch_retinanet_tpu.engine.optim import build_optimizer
     from pytorch_retinanet_tpu.models import RetinaNetModule
 
@@ -80,7 +84,10 @@ def measure(backbone, size, batch, remat, use_fused_stem, iters, flat_opt=False)
         flatten=flat_opt,
     )
     opt_state = optimizer.init(params)
-    step = build_step(module, stats, optimizer, size, use_fused_stem)
+    step = build_step(
+        module, stats, optimizer, size, use_fused_stem,
+        compiler_options=compiler_options,
+    )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, *size, 3), np.float32))

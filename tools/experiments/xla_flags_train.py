@@ -1,22 +1,20 @@
-"""A/B one XLA:TPU flag set on the production train step (bs16 R50-FPN).
+"""A/B XLA:TPU compiler options on the production train step (bs16 R50-FPN).
 
 ROOFLINE_TRAIN.md shows the step backward-bound at 46.8% MFU with the
 backward never directly tuned — the one compiler-level lever left
-unexplored is XLA's scheduling/fusion flags. This script measures the
-EXACT bench_train step (same build_step/measure) under whatever XLA_FLAGS
-the caller exports, so flag sets can be A/B'd serially:
+unexplored is XLA's scheduling/fusion knobs. This script measures the
+EXACT bench_train step (same build_step/measure) under a named compiler
+option set, passed via ``jax.jit(compiler_options=...)`` — NOT the
+XLA_FLAGS env var, because on this harness TPU compilation happens in a
+remote helper and only the serialized CompileOptions (which carry
+env_option_overrides) are guaranteed to reach it.
 
-    XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" \
-        python tools/experiments/xla_flags_train.py --batch 16
+    python tools/experiments/xla_flags_train.py --set baseline
+    python tools/experiments/xla_flags_train.py --set vmem64m
 
-Each distinct flag set changes the compile-cache key, so every run pays a
-fresh remote compile (minutes; use the two-attempt 595 s protocol from
-CLAUDE.md). Results are appended to tools/experiments/XLA_FLAGS_TRAIN.jsonl
-— one JSON line per run — and the winner (if any) gets promoted into the
-production env docs.
-
-Flags must be exported BEFORE the first jax import (XLA parses the env var
-at backend init), which is why this is env-driven rather than --flags.
+Each distinct option set changes the compile-cache key, so every run pays
+a fresh remote compile (minutes; two-attempt 595 s protocol from
+CLAUDE.md). Results append to tools/experiments/XLA_FLAGS_TRAIN.jsonl.
 """
 
 import argparse
@@ -29,22 +27,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from bench_train import measure  # noqa: E402  (tools/bench_train.py)
 
+# Candidate sets. Values are strings (env_option_overrides wire format).
+SETS = {
+    # no overrides — the production compile, for an apples-to-apples number
+    # through this exact script
+    "baseline": None,
+    # 4x the default scoped-VMEM budget: lets XLA pick bigger fusion tiles /
+    # deeper prefetch for the conv pipeline (the knob large-model TPU configs
+    # tune first)
+    "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    # latency-hiding scheduler: overlaps async ops; mostly a collectives
+    # knob — measured here to close the question for the single-chip step
+    "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--set", dest="opt_set", default="baseline",
+                    choices=sorted(SETS))
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
-    flags = os.environ.get("XLA_FLAGS", "")
+    opts = SETS[args.opt_set]
     import jax
 
-    print(f"device: {jax.devices()[0]}  XLA_FLAGS={flags!r}", flush=True)
+    print(f"device: {jax.devices()[0]}  set={args.opt_set} opts={opts}",
+          flush=True)
     img_s, ms = measure(
-        "resnet50", (800, 1344), args.batch, False, False, args.iters
+        "resnet50", (800, 1344), args.batch, False, False, args.iters,
+        compiler_options=opts,
     )
     rec = {
-        "xla_flags": flags,
+        "set": args.opt_set,
+        "compiler_options": opts,
         "batch": args.batch,
         "img_per_sec": round(img_s, 2),
         "step_ms": round(ms, 1),
