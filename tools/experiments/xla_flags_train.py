@@ -36,6 +36,8 @@ SETS = {
     # deeper prefetch for the conv pipeline (the knob large-model TPU configs
     # tune first)
     "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    # measured: vmem64m OOMs the bs16 step (15.92G > 15.75G HBM); half-step
+    "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
     # latency-hiding scheduler: overlaps async ops; mostly a collectives
     # knob — measured here to close the question for the single-chip step
     "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},

@@ -114,6 +114,19 @@ def main() -> None:
     def fwd(params, x, boxes, labels, valid):
         return loss_fn(params, x, boxes, labels, valid)
 
+    def fwd_only(params, x):
+        # Forward WITHOUT the loss — isolates the fused matcher/focal/
+        # smooth-L1 cost as a delta (round 4; it had only ever been
+        # bundled into fwd+loss).
+        cls_levels, box_levels = module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x,
+            False, return_levels=True,
+        )
+        return (
+            sum(jnp.sum(c.astype(jnp.float32)) for c in cls_levels)
+            + sum(jnp.sum(b.astype(jnp.float32)) for b in box_levels)
+        )
+
     def grad(params, x, boxes, labels, valid):
         return jax.value_and_grad(loss_fn)(params, x, boxes, labels, valid)
 
@@ -126,6 +139,7 @@ def main() -> None:
         return optax.apply_updates(params, updates), new_opt, total
 
     stages = {}
+    stages["fwd_only"] = time_fn(fwd_only, params, x, iters=args.iters)
     stages["fwd+loss"] = time_fn(fwd, params, x, boxes, labels, valid, iters=args.iters)
     stages["grad"] = time_fn(grad, params, x, boxes, labels, valid, iters=args.iters)
     stages["step"] = time_fn(
@@ -134,6 +148,8 @@ def main() -> None:
 
     fwd_fl = (resnet50_flops(h, w) + fpn_flops(h, w) + head_flops(h, w)) * B
     rows = [
+        ("fwd (no loss)", stages["fwd_only"], fwd_fl),
+        ("loss (delta)", stages["fwd+loss"] - stages["fwd_only"], 0),
         ("fwd+loss", stages["fwd+loss"], fwd_fl),
         ("backward (delta)", stages["grad"] - stages["fwd+loss"], 2 * fwd_fl),
         ("optimizer (delta)", stages["step"] - stages["grad"], 0),
