@@ -279,6 +279,11 @@ class Trainer:
             return v
 
         spatial = self.mesh.spatial_size
+        # Match+targets Pallas kernel (ops.retinanet_loss_levels docstring):
+        # auto-resolved per backend inside the loss; on a >1-device mesh the
+        # kernel must run shard_mapped over the batch ('data' axis), so the
+        # mesh is threaded through (the make_sharded_stem pattern).
+        match_mesh = self.mesh.mesh if self.mesh.num_devices > 1 else None
         # spatial>1 + mutable_bn is legal here: eval/predict run the backbone
         # with train=False (running stats), so the split spatial forward is
         # fine. Only TRAINING live batch statistics would need axis-aware
@@ -339,7 +344,7 @@ class Trainer:
                     new_stats = state.batch_stats
                 losses = retinanet_loss_levels(
                     cls_levels, box_levels, anchors_levels, boxes, labels, valid,
-                    num_classes=num_classes,
+                    num_classes=num_classes, match_mesh=match_mesh,
                 )
                 total = losses["classification_loss"] + losses["regression_loss"]
                 return total, (losses, new_stats)
@@ -375,6 +380,7 @@ class Trainer:
             losses = retinanet_loss_levels(
                 cls_levels, box_levels, anchors_levels, boxes, labels, valid,
                 num_classes=num_classes, reduction="none",
+                match_mesh=match_mesh,
             )
             losses["loss"] = losses["classification_loss"] + losses["regression_loss"]
             return losses

@@ -146,6 +146,9 @@ def retinanet_loss_levels(
     beta: float = SMOOTH_L1_LOSS_BETA,
     reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
     reduction: str = "mean",
+    use_match_kernel: bool | None = None,
+    match_interpret: bool = False,
+    match_mesh=None,
 ) -> Dict[str, Array]:
     """:func:`retinanet_loss` on PER-LEVEL head outputs — identical result.
 
@@ -154,14 +157,25 @@ def retinanet_loss_levels(
     that combine afterwards. This skips the cross-level ``[B, A_total, C]``
     concat of the head outputs, which costs ~10 ms/batch8 at 800px on v5e —
     the training-path twin of the per-level postprocess design (ops/nms.py).
+
+    ``use_match_kernel`` routes the matcher + matched-GT lookup + box
+    encoding through the Pallas VMEM kernel (kernels/match_pallas.py) —
+    bitwise-identical targets at a fraction of the HBM traffic (the XLA
+    composition materializes [B, A, N]-sized intermediates; measured
+    19.3 ms/step at bs16, docs/ROOFLINE_TRAIN.md). ``None`` (default)
+    enables it on the TPU backend and keeps the XLA composition elsewhere;
+    ``match_interpret`` runs the kernel in interpret mode (tests).
     """
+    if use_match_kernel is None:
+        use_match_kernel = jax.default_backend() == "tpu"
     reg_sum = cls_sum = num_fg = 0.0
     for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
         r, c, f = _loss_sums(
             cls_l, box_l, jnp.asarray(anc_l), gt_boxes, gt_labels, gt_valid,
             num_classes=num_classes, fg_iou_thr=fg_iou_thr,
             bg_iou_thr=bg_iou_thr, alpha=alpha, gamma=gamma, beta=beta,
-            reg_weights=reg_weights,
+            reg_weights=reg_weights, use_match_kernel=use_match_kernel,
+            match_interpret=match_interpret, match_mesh=match_mesh,
         )
         reg_sum = reg_sum + r
         cls_sum = cls_sum + c
@@ -193,6 +207,9 @@ def _loss_sums(
     gamma: float,
     beta: float,
     reg_weights: Sequence[float],
+    use_match_kernel: bool = False,
+    match_interpret: bool = False,
+    match_mesh=None,
 ):
     """Unnormalized per-image loss sums over one anchor set.
 
@@ -203,51 +220,91 @@ def _loss_sums(
     box_deltas = box_deltas.astype(jnp.float32)
     gt_boxes = gt_boxes.astype(jnp.float32)
 
-    matches, _ = match_anchors_batch(
-        anchors, gt_boxes, gt_valid, fg_iou_thr, bg_iou_thr
-    )  # [B, A]
+    if use_match_kernel:
+        # Matcher + matched-GT lookup + encode in one Pallas VMEM pass —
+        # bitwise-identical to the XLA composition below, without its
+        # [B, A, N]-sized HBM intermediates. The targets are constants
+        # w.r.t. the network parameters (matching is non-differentiable),
+        # so no VJP is needed; stop_gradient documents that and keeps
+        # autodiff from attempting to differentiate the pallas_call.
+        import functools as _ft
 
-    fg_mask = matches >= 0  # [B, A]
+        from ..kernels.match_pallas import match_targets
+
+        fn = _ft.partial(
+            match_targets,
+            fg_iou_thr=fg_iou_thr, bg_iou_thr=bg_iou_thr,
+            reg_weights=tuple(reg_weights), interpret=match_interpret,
+        )
+        if match_mesh is not None and match_mesh.devices.size > 1:
+            # pallas_call has no SPMD partitioning rule: under a >1-device
+            # mesh it must run shard_mapped over the batch (each device
+            # matches its local rows; the kernel is embarrassingly
+            # batch-parallel) — the make_sharded_stem pattern
+            # (parallel/sharding.py).
+            from jax.sharding import PartitionSpec as _P
+
+            fn = jax.shard_map(
+                fn,
+                mesh=match_mesh,
+                in_specs=(_P(), _P("data"), _P("data"), _P("data")),
+                out_specs=(_P("data"), _P("data"), _P("data")),
+                check_vma=False,
+            )
+        matches, fg_labels, reg_targets = jax.lax.stop_gradient(
+            fn(anchors, gt_boxes, gt_labels, gt_valid)
+        )
+        fg_mask = matches >= 0  # [B, A]
+    else:
+        matches, _ = match_anchors_batch(
+            anchors, gt_boxes, gt_valid, fg_iou_thr, bg_iou_thr
+        )  # [B, A]
+        fg_mask = matches >= 0  # [B, A]
+
+        # Matched-GT lookup as a one-hot MATMUL, not take_along_axis: XLA:TPU
+        # lowers a [B, A]-indexed gather from [B, N, .] to a serialized gather
+        # (~22 ms at B8/A200k — measured), while onehot[B,A,N] @ gt[B,N,5] is a
+        # tiny MXU contraction (N=100) whose backward is a matmul too (the
+        # gather's backward is an even-slower scatter-add).
+        n_gt = gt_boxes.shape[1]
+        safe_idx = jnp.maximum(matches, 0)  # [B, A]
+        onehot = (
+            safe_idx[..., None] == jnp.arange(n_gt, dtype=jnp.int32)
+        ).astype(jnp.float32)  # [B, A, N]
+        gt_cat = jnp.concatenate(
+            [gt_boxes, gt_labels.astype(jnp.float32)[..., None]], axis=-1
+        )  # [B, N, 5]
+        gathered = jax.lax.dot_general(
+            onehot,
+            gt_cat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            # HIGHEST: the default TPU matmul precision truncates f32 operands
+            # to bf16, which would quantize GT coordinates (spacing 8 in
+            # [1024, 2048)) and corrupt the regression targets. N=100 — full
+            # precision is free.
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, A, 5]
+        matched_boxes = gathered[..., :4]
+        # exact: one-hot selection of integers <= num_classes in f32
+        matched_labels = gathered[..., 4].astype(jnp.int32)  # [B, A]
+        reg_targets = encode_boxes(
+            matched_boxes, anchors[None], reg_weights
+        )  # [B, A, 4]
+        fg_labels = jnp.where(fg_mask, matched_labels, 0)  # 0 => background
+
     num_fg = jnp.sum(fg_mask, axis=1)  # [B]
 
-    # Matched-GT lookup as a one-hot MATMUL, not take_along_axis: XLA:TPU
-    # lowers a [B, A]-indexed gather from [B, N, .] to a serialized gather
-    # (~22 ms at B8/A200k — measured), while onehot[B,A,N] @ gt[B,N,5] is a
-    # tiny MXU contraction (N=100) whose backward is a matmul too (the
-    # gather's backward is an even-slower scatter-add).
-    n_gt = gt_boxes.shape[1]
-    safe_idx = jnp.maximum(matches, 0)  # [B, A]
-    onehot = (
-        safe_idx[..., None] == jnp.arange(n_gt, dtype=jnp.int32)
-    ).astype(jnp.float32)  # [B, A, N]
-    gt_cat = jnp.concatenate(
-        [gt_boxes, gt_labels.astype(jnp.float32)[..., None]], axis=-1
-    )  # [B, N, 5]
-    gathered = jax.lax.dot_general(
-        onehot,
-        gt_cat,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        # HIGHEST: the default TPU matmul precision truncates f32 operands to
-        # bf16, which would quantize GT coordinates (spacing 8 in [1024, 2048))
-        # and corrupt the regression targets. N=100 — full precision is free.
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, A, 5]
-    matched_boxes = gathered[..., :4]
-    # exact: one-hot selection of integers <= num_classes in f32
-    matched_labels = gathered[..., 4].astype(jnp.int32)  # [B, A]
-
     # ---- Regression: smooth-L1 on encoded deltas of foreground anchors ---- #
-    reg_targets = encode_boxes(matched_boxes, anchors[None], reg_weights)  # [B, A, 4]
     reg_elem = smooth_l1_loss(box_deltas, reg_targets, beta)  # [B, A, 4]
     reg_sum = jnp.sum(
         jnp.sum(reg_elem, axis=-1) * fg_mask.astype(jnp.float32), axis=1
     )  # [B]
 
     # ---- Classification: focal loss on non-ignored anchors ---- #
-    # Foreground anchors get one-hot(label - 1) over C classes; background all-zero.
-    fg_labels = jnp.where(fg_mask, matched_labels, 0)  # 0 => background row
-    # one_hot over C+1 then drop column 0 (reference losses.py:96-102).
+    # Foreground anchors get one-hot(label - 1) over C classes; background
+    # all-zero: one_hot over C+1 then drop column 0 (reference
+    # losses.py:96-102).
     cls_targets = _one_hot(fg_labels, num_classes + 1)[..., 1:]  # [B, A, C]
     cls_elem = sigmoid_focal_loss(cls_logits, cls_targets, alpha, gamma)  # [B, A, C]
     not_ignored = (matches >= -1).astype(jnp.float32)  # [B, A]

@@ -228,6 +228,53 @@ def main() -> None:
     if not lookup_exact:
         results["ok"] = False
 
+    # Match+targets Pallas kernel (kernels/match_pallas.py): the COMPILED
+    # kernel's matches / fg_labels / reg_targets must be bitwise equal to
+    # the XLA matcher + one-hot lookup + encode composition on-chip (CI
+    # covers interpret mode only, tests/test_match_kernel.py).
+    from pytorch_retinanet_tpu.kernels.match_pallas import match_targets
+    from pytorch_retinanet_tpu.ops.boxes import encode_boxes
+    from pytorch_retinanet_tpu.ops.matcher import match_anchors_batch
+
+    r = np.random.default_rng(11)
+    match_cases = []
+    for a_n, n_gt, b in ((1500, 30, 2), (151200, 100, 2)):
+        ctr = r.uniform(0, 1300, (a_n, 2)).astype(np.float32)
+        wh = r.uniform(8, 400, (a_n, 2)).astype(np.float32)
+        anc = jnp.asarray(np.concatenate([ctr - wh / 2, ctr + wh / 2], -1))
+        gctr = r.uniform(0, 1300, (b, n_gt, 2)).astype(np.float32)
+        gwh = r.uniform(8, 500, (b, n_gt, 2)).astype(np.float32)
+        gt_b = jnp.asarray(np.concatenate([gctr - gwh / 2, gctr + gwh / 2], -1))
+        lab_b = jnp.asarray(r.integers(1, 91, (b, n_gt)), jnp.int32)
+        val_b = jnp.asarray(r.uniform(size=(b, n_gt)) > 0.2)
+        got_m = match_targets(
+            anc, gt_b, lab_b, val_b, fg_iou_thr=0.5, bg_iou_thr=0.4
+        )
+        ref_m, _ = match_anchors_batch(anc, gt_b, val_b, 0.5, 0.4)
+        safe = jnp.maximum(ref_m, 0)
+        oh = (safe[..., None] == jnp.arange(n_gt, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        cat_m = jnp.concatenate(
+            [gt_b, lab_b.astype(jnp.float32)[..., None]], -1
+        )
+        gath = jax.lax.dot_general(
+            oh, cat_m, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ref_t = encode_boxes(gath[..., :4], anc[None], (1.0, 1.0, 1.0, 1.0))
+        ref_l = jnp.where(ref_m >= 0, gath[..., 4].astype(jnp.int32), 0)
+        exact = (
+            bool(np.array_equal(np.asarray(got_m[0]), np.asarray(ref_m)))
+            and bool(np.array_equal(np.asarray(got_m[1]), np.asarray(ref_l)))
+            and bool(np.array_equal(np.asarray(got_m[2]), np.asarray(ref_t)))
+        )
+        match_cases.append({"a": a_n, "n_gt": n_gt, "exact": exact})
+        if not exact:
+            results["ok"] = False
+    results["match_targets_compiled"] = match_cases
+
     out = os.path.join(os.path.dirname(__file__), "..", "TPU_SELFCHECK.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
