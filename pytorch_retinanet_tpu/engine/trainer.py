@@ -280,9 +280,9 @@ class Trainer:
 
         spatial = self.mesh.spatial_size
         # Match+targets Pallas kernel (ops.retinanet_loss_levels docstring):
-        # auto-resolved per backend inside the loss; on a >1-device mesh the
-        # kernel must run shard_mapped over the batch ('data' axis), so the
-        # mesh is threaded through (the make_sharded_stem pattern).
+        # default OFF (round-5 measured negative, MATCH_KERNEL_AB.jsonl);
+        # the mesh is still threaded through so an explicit opt-in on a
+        # >1-device mesh runs shard_mapped over the batch ('data' axis).
         match_mesh = self.mesh.mesh if self.mesh.num_devices > 1 else None
         # spatial>1 + mutable_bn is legal here: eval/predict run the backbone
         # with train=False (running stats), so the split spatial forward is

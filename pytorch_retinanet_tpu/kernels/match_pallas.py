@@ -1,21 +1,27 @@
 """Pallas TPU kernel: anchor matching + loss-target construction in VMEM.
 
-The train-step loss profile (docs/ROOFLINE_TRAIN.md, round 4) isolated the
-fused loss at 19.3 ms/step (bs16, 0 FLOPs) — almost entirely the matcher +
-matched-GT lookup: XLA materializes the [B, A, N] IoU matrix, an argmax
-over it, and the one-hot [B, A, N] matmul operand in HBM, ~16 GB of traffic
-per step for values that are then reduced straight back down to [B, A]
-rows. (The reference reaches the same targets through a per-image python
-loop over torchvision's box_iou at losses.py:126-135 / box_utils.py:51-80.)
+STATUS (round 5): **measured negative — OFF by default** (opt-in via
+``use_match_kernel=True``). The round-4 hypothesis was that the XLA
+composition's [B, A, N]-shaped intermediates (IoU matrix, argmax, one-hot
+matmul operand) cost real HBM time; the direct A/B at production shapes
+(800x1344, 90 classes, 100 GT; tools/experiments/MATCH_KERNEL_AB.jsonl)
+refutes it: XLA's loss forward is 8.09 ms at bs16 and the kernel arm is
+8.45 ms (grad 11.27 vs 11.81; reproduced twice; bs8 is -0.15 ms, also
+noise-level). XLA fuses/pipelines the big intermediates well enough that
+eliminating them buys nothing — the same lesson as the fused-bottleneck
+trunk (docs/ROOFLINE_BACKBONE.md). The kernel remains as compiled-exact,
+parity-tested groundwork for shapes where the balance may differ (huge
+N_gt, small batch).
 
-This kernel computes the whole pipeline — pairwise IoU, threshold matching
+The kernel computes the whole pipeline — pairwise IoU, threshold matching
 with the ignore band, matched-GT gather, and box encoding — in one VMEM
-pass per (image, anchor-tile) grid cell. HBM traffic drops to the inputs
-and the [B, A]-shaped outputs (~120 MB at bs16): per cell it loads an
-anchor tile (planar [4, T], anchors on lanes) and the image's padded GT
-([N_pad, 8] rows: x1 y1 x2 y2 label valid 0 0), forms the [N_pad, T] IoU
-plane by rank-2 broadcast (GT on sublanes), reduces it, and writes three
-row-shaped outputs.
+pass per (image, anchor-tile) grid cell: per cell it loads an anchor tile
+(planar [4, T], anchors on lanes) and the image's padded GT ([N_pad, 8]
+rows: x1 y1 x2 y2 label valid 0 0), forms the [N_pad, T] IoU plane by
+rank-2 broadcast (GT on sublanes), reduces it, and writes three row-shaped
+outputs. (The reference reaches the same targets through a per-image
+python loop over torchvision's box_iou at losses.py:126-135 /
+box_utils.py:51-80.)
 
 Everything here is CONSTANT with respect to the network parameters
 (matching is not differentiable; the loss backward only needs

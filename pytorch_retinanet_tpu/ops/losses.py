@@ -160,14 +160,18 @@ def retinanet_loss_levels(
 
     ``use_match_kernel`` routes the matcher + matched-GT lookup + box
     encoding through the Pallas VMEM kernel (kernels/match_pallas.py) —
-    bitwise-identical targets at a fraction of the HBM traffic (the XLA
-    composition materializes [B, A, N]-sized intermediates; measured
-    19.3 ms/step at bs16, docs/ROOFLINE_TRAIN.md). ``None`` (default)
-    enables it on the TPU backend and keeps the XLA composition elsewhere;
+    bitwise-identical targets. Default OFF (round-5 measured negative,
+    tools/experiments/MATCH_KERNEL_AB.jsonl): on v5e at 800x1344/90
+    classes/100 GT the kernel is +0.3 ms/step at bs16 (fwd 8.45 vs 8.09 ms,
+    grad 11.81 vs 11.27, reproduced) and -0.15 ms at bs8 — XLA already
+    pipelines the [B, A, N] intermediates well enough that the VMEM pass
+    buys nothing at production shapes. The kernel stays as opt-in,
+    compiled-parity-tested groundwork (TPU_SELFCHECK match_targets_compiled)
+    like the fused-bottleneck negative. ``None`` resolves to False;
     ``match_interpret`` runs the kernel in interpret mode (tests).
     """
     if use_match_kernel is None:
-        use_match_kernel = jax.default_backend() == "tpu"
+        use_match_kernel = False
     reg_sum = cls_sum = num_fg = 0.0
     for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
         r, c, f = _loss_sums(
