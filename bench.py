@@ -112,21 +112,48 @@ def main() -> None:
     # artifacts (measured on-chip by tools/bench_train.py / bench_latency.py,
     # too slow to re-measure inside the driver's bench window) into the one
     # driver-captured line so the judge sees them without chasing files.
+    # Each sidecar key carries a `*_source` tag naming the artifact and its
+    # mtime, so the line distinguishes measured-now (the headline above) from
+    # committed-artifact echoes (VERDICT r4 weak #4).
+    import datetime
+    import subprocess
+
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _artifact_source(path: str) -> str:
+        date = None
+        try:  # commit date of the artifact — when it was last (re)measured
+            date = subprocess.run(
+                ["git", "-C", here, "log", "-1", "--format=%cs", "--", path],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except (OSError, subprocess.SubprocessError):
+            pass
+        if date is None:
+            mtime = datetime.datetime.fromtimestamp(
+                os.path.getmtime(path), datetime.timezone.utc
+            )
+            date = f"{mtime:%Y-%m-%d}"
+        return f"{os.path.basename(path)}@{date} (committed artifact)"
+
     try:
-        with open(os.path.join(here, "TRAIN_BENCH.json")) as f:
+        tb_path = os.path.join(here, "TRAIN_BENCH.json")
+        with open(tb_path) as f:
             tb = json.load(f)
         record["train_img_per_sec_chip"] = tb.get("value")
         record["train_step_ms"] = tb.get("step_ms")
+        record["train_source"] = _artifact_source(tb_path)
     except (OSError, ValueError):
         pass
     try:
-        with open(os.path.join(here, "LATENCY.json")) as f:
+        lat_path = os.path.join(here, "LATENCY.json")
+        with open(lat_path) as f:
             lat = json.load(f)
         bs1 = next((r for r in lat.get("rows", []) if r.get("batch") == 1), {})
         for k in ("p50_ms", "p50_pipelined_ms", "compute_ms"):
             if k in bs1:
                 record[f"serving_bs1_{k}"] = bs1[k]
+        record["serving_source"] = _artifact_source(lat_path)
     except (OSError, ValueError):
         pass
     print(json.dumps(record))
