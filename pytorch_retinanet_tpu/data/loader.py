@@ -46,7 +46,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .. import config as C
-from ..models.retinanet import resize_to_bucket
+from ..models.retinanet import resize_for_bucket, resize_to_bucket  # noqa: F401
 from ..ops.boxes import rescale_boxes  # noqa: F401  (re-exported convenience)
 
 
@@ -104,8 +104,13 @@ class DetectionLoader:
         # (models.retinanet uint8 wire format). 4x less host memcpy +
         # host→device transfer than float32. Float-valued augmentations
         # quantize back to bytes under this option — use float32 (default)
-        # when exact float augmentation output matters.
-        self.image_dtype = np.dtype(image_dtype)
+        # when exact float augmentation output matters. "auto" resolves from
+        # the first post-transform sample: byte-preserving pipelines (pure
+        # geometric augs, data/transforms.py uint8_exact) get the uint8 wire
+        # for free, float pipelines keep float32 exactly as before.
+        self.image_dtype = (
+            None if image_dtype == "auto" else np.dtype(image_dtype)
+        )
         self.epoch = 0
         self._group_ids: Optional[np.ndarray] = None  # lazy, per-dataset-index
 
@@ -158,9 +163,18 @@ class DetectionLoader:
             image, target, image_id = self.dataset.get_sample(idx, rng)
         else:
             image, target, image_id = self.dataset[idx]
+        wire = self.image_dtype
+        if wire is None:  # "auto": bytes stay bytes, floats stay float32.
+            # Benign race under the thread pool: every thread resolves the
+            # same value (sample dtype is uniform across a dataset).
+            wire = np.dtype(np.uint8 if image.dtype == np.uint8 else np.float32)
+            self.image_dtype = wire
         orig_h, orig_w = image.shape[:2]
-        padded, (new_h, new_w), _ = resize_to_bucket(
-            image, self.min_size, self.max_size, wire_dtype=self.image_dtype
+        # Resize WITHOUT padding: _collate writes the resized image straight
+        # into the batch buffer, skipping a per-sample full-bucket
+        # zeros+copy (was ~25% of f32 sample prep, LOADER.json round 5).
+        resized, (new_h, new_w), _, bucket = resize_for_bucket(
+            image, self.min_size, self.max_size, wire_dtype=wire
         )
         boxes = np.asarray(target["boxes"], np.float32).reshape(-1, 4)
         if len(boxes):
@@ -171,7 +185,8 @@ class DetectionLoader:
         labels = np.asarray(target["labels"], np.int64)
         pboxes, plabels, pvalid = pad_targets(boxes, labels, self.max_gt)
         return {
-            "image": padded,
+            "image": resized,
+            "bucket": bucket,
             "image_size": np.asarray([new_h, new_w], np.float32),
             "orig_size": np.asarray([orig_h, orig_w], np.float32),
             "image_id": np.int64(image_id),
@@ -229,15 +244,17 @@ class DetectionLoader:
     def _collate(
         self, samples: Sequence[Dict[str, np.ndarray]], is_filler: bool = False
     ) -> Dict[str, np.ndarray]:
-        # Batches are orientation-homogeneous (see _batched_indices), so this
-        # pad-to-batch-max is a no-op for grouped data; it only letterboxes
+        # Batches are orientation-homogeneous (see _batched_indices), so the
+        # max-over-buckets is a no-op for grouped data; it only letterboxes
         # mixed batches from datasets without size metadata (group -1), the
         # same pad-to-max behavior torchvision applies to every batch.
+        # Samples carry UNPADDED resized images + their bucket: the one
+        # zeros+write here is the only full-frame materialization per image.
         n_real = len(samples)
         n_total = self.batch_size if (self.pad_last and n_real < self.batch_size) else n_real
-        max_h = max(s["image"].shape[0] for s in samples)
-        max_w = max(s["image"].shape[1] for s in samples)
-        images = np.zeros((n_total, max_h, max_w, 3), self.image_dtype)
+        max_h = max(s["bucket"][0] for s in samples)
+        max_w = max(s["bucket"][1] for s in samples)
+        images = np.zeros((n_total, max_h, max_w, 3), samples[0]["image"].dtype)
         for i, s in enumerate(samples):
             h, w = s["image"].shape[:2]
             images[i, :h, :w] = s["image"]

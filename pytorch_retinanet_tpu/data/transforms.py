@@ -91,6 +91,15 @@ def apply_transform(t, image, boxes, labels, rng=None) -> Sample:
 class Transform:
     """Base class: callable on (image, boxes, labels[, rng])."""
 
+    # True for transforms that are pure index operations on the pixel array
+    # (flip, crop): applying them to uint8 bytes is EXACTLY applying them to
+    # the floats those bytes would become — so a chain of only-uint8_exact
+    # transforms can skip the leading ToFloat and keep bytes end-to-end
+    # (build_transforms keep_bytes; the uint8 wire format then ships 4x
+    # fewer bytes to the device). Interpolating or photometric transforms
+    # stay False: they need float pixels.
+    uint8_exact = False
+
     def __call__(self, image, boxes, labels, rng=None) -> Sample:  # pragma: no cover
         raise NotImplementedError
 
@@ -109,6 +118,8 @@ class HorizontalFlip(Transform):
     """Mirror left-right, flipping box x-coordinates (reference flips via
     albumentations / coco_transforms.py:22-37)."""
 
+    uint8_exact = True  # pure index op
+
     def __init__(self, p: float = 0.5):
         self.p = p
 
@@ -123,6 +134,8 @@ class HorizontalFlip(Transform):
 
 
 class VerticalFlip(Transform):
+    uint8_exact = True  # pure index op
+
     def __init__(self, p: float = 0.5):
         self.p = p
 
@@ -240,6 +253,8 @@ class Resize(Transform):
 class RandomCrop(Transform):
     """Random fixed-size crop; boxes clipped, empty ones dropped
     (albumentations.RandomCrop parity for detection)."""
+
+    uint8_exact = True  # pure index op
 
     def __init__(self, height: int, width: int, p: float = 1.0):
         self.height = height
@@ -377,7 +392,10 @@ for _cls in (
 
 
 def build_transforms(
-    specs: Optional[Sequence[Any]], extra: Optional[Sequence[Transform]] = None
+    specs: Optional[Sequence[Any]],
+    extra: Optional[Sequence[Transform]] = None,
+    *,
+    keep_bytes: bool = False,
 ) -> Compose:
     """Instantiate a transform pipeline from config dicts.
 
@@ -385,13 +403,15 @@ def build_transforms(
     config shape (hparams.yaml:48-62, applied through load_obj at
     model.py:50-60). Unknown class names raise (registry-based resolution
     replaces the reference's arbitrary dotted-path import).
+
+    ``keep_bytes``: when every requested transform is ``uint8_exact`` (pure
+    index ops — flip/crop), skip the leading ToFloat so the pipeline emits
+    the dataset's raw bytes: flip(u8)/255 == flip(u8/255) exactly, and the
+    loader's "auto" wire then ships uint8 (4x less host work + transfer;
+    the device normalizes from bytes). Any float-needing transform in the
+    chain keeps the float pipeline untouched.
     """
-    # ToFloat FIRST: photometric transforms (RandomBrightnessContrast,
-    # GaussNoise, ...) assume float [0,1]; running them on the uint8 images
-    # datasets emit would saturate the image to ~1.0 and silently destroy
-    # training. (The reference appends ToFloat last because albumentations'
-    # photometric ops handle uint8 natively; ours are float-only.)
-    transforms: List[Transform] = [ToFloat()]
+    instances: List[Transform] = []
     for spec in specs or []:
         name = spec["class_name"]
         if name not in TRANSFORM_REGISTRY:
@@ -400,7 +420,14 @@ def build_transforms(
                 f"{sorted(k for k in TRANSFORM_REGISTRY if '.' not in k)}"
             )
         params = dict(spec.get("params") or {})
-        transforms.append(TRANSFORM_REGISTRY[name](**params))
-    for t in extra or []:
-        transforms.append(t)
-    return Compose(transforms)
+        instances.append(TRANSFORM_REGISTRY[name](**params))
+    instances.extend(extra or [])
+
+    if keep_bytes and all(t.uint8_exact for t in instances):
+        return Compose(instances)
+    # ToFloat FIRST: photometric transforms (RandomBrightnessContrast,
+    # GaussNoise, ...) assume float [0,1]; running them on the uint8 images
+    # datasets emit would saturate the image to ~1.0 and silently destroy
+    # training. (The reference appends ToFloat last because albumentations'
+    # photometric ops handle uint8 natively; ours are float-only.)
+    return Compose([ToFloat(), *instances])

@@ -50,7 +50,12 @@ class RetinaNetModel:
         kind = (conf.dataset or {}).get("kind")
         if not kind:
             raise ValueError("hparams.dataset.kind must be one of coco/pascal/csv")
-        trn_tfms = build_transforms(conf.transforms)
+        # keep_bytes: a pure-geometric train chain (the default — just
+        # HorizontalFlip, hparams.yaml:48-62) skips ToFloat and stays uint8
+        # end-to-end; the loader's "auto" wire then ships raw bytes and the
+        # device normalizes from them (4x less host prep + transfer,
+        # LOADER.json). Any photometric transform keeps the float pipeline.
+        trn_tfms = build_transforms(conf.transforms, keep_bytes=True)
         if kind == "coco":
             root = conf.dataset.root_dir
             self.trn_ds = get_coco(root, "train", trn_tfms)
@@ -107,10 +112,18 @@ class RetinaNetModel:
         if args.get("image_dtype"):
             # dataloader.args.image_dtype: uint8 ships raw bytes to the
             # device (normalize-from-bytes is in the traced graph) — 4x less
-            # host pipeline memcpy and host→device transfer.
+            # host pipeline memcpy and host→device transfer. Explicit config
+            # overrides the "auto" default.
             import numpy as np
 
-            out["image_dtype"] = np.dtype(str(args["image_dtype"]))
+            dtype = str(args["image_dtype"])
+            out["image_dtype"] = dtype if dtype == "auto" else np.dtype(dtype)
+        else:
+            # Default: wire dtype follows the transform chain — uint8 for
+            # byte-preserving train pipelines (see keep_bytes above), float32
+            # for float pipelines and for val/test (whose chains start with
+            # ToFloat, so eval numerics are unchanged).
+            out["image_dtype"] = "auto"
         return out
 
     def train_dataloader(self, shard: int = 0, num_shards: int = 1) -> DetectionLoader:

@@ -327,6 +327,8 @@ def fused_stem(
 
     mean = jnp.asarray(MEAN if mean is None else mean, jnp.float32)
     std = jnp.asarray(STD if std is None else std, jnp.float32)
+    # uint8 callers pass pre-folded mean*255/std*255 (apply_detector:190-195)
+    # — no dtype branch here, or the fold would apply twice.
     x = (images.astype(jnp.float32) - mean) / std
 
     params = variables["params"]

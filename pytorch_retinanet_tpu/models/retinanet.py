@@ -232,24 +232,19 @@ def resolution_buckets(min_size: int, max_size: int) -> Tuple[Tuple[int, int], .
     return ((lo, hi), (hi, lo))
 
 
-def resize_to_bucket(
+def resize_for_bucket(
     image: np.ndarray, min_size: int, max_size: int, *, wire_dtype=np.float32
-) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
-    """Host-side: reference resize rule + pad into the orientation bucket.
+) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int], Tuple[int, int]]:
+    """Reference resize rule + wire-dtype convert, WITHOUT the bucket pad.
 
-    Mirrors GeneralizedRCNNTransform (reference models.py:116): scale so the
-    short side hits `min_size` unless the long side would exceed `max_size`.
-
-    Args:
-      image: HWC float or uint8 array (any channel count; RGB expected).
-      wire_dtype: dtype of the padded output — ``np.float32`` (values in
-        [0, 1], the default) or ``np.uint8`` (raw bytes; the device program
-        normalizes from bytes). uint8 is the serving wire format: 4x fewer
-        host→device bytes per request.
+    The pad-free half of :func:`resize_to_bucket`: batching callers
+    (data/loader.py) write the resized image straight into the batch buffer
+    instead of materializing a per-sample full-bucket frame first (the
+    double-pad cost LOADER.json attributed in round 5).
 
     Returns:
-      (padded HWC array in ``wire_dtype``, resized (h, w) before padding,
-       original (h, w)).
+      (resized HWC array in ``wire_dtype``, resized (h, w), original (h, w),
+       bucket (pad_h, pad_w) the image belongs in).
     """
     import cv2
 
@@ -274,7 +269,32 @@ def resize_to_bucket(
     else:
         pad_h, pad_w = _ceil32(min_size), _ceil32(max_size)
     pad_h, pad_w = max(pad_h, new_h), max(pad_w, new_w)
-    out = np.zeros((pad_h, pad_w, resized.shape[2]), wire_dtype)
+    return resized, (new_h, new_w), (orig_h, orig_w), (pad_h, pad_w)
+
+
+def resize_to_bucket(
+    image: np.ndarray, min_size: int, max_size: int, *, wire_dtype=np.float32
+) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
+    """Host-side: reference resize rule + pad into the orientation bucket.
+
+    Mirrors GeneralizedRCNNTransform (reference models.py:116): scale so the
+    short side hits `min_size` unless the long side would exceed `max_size`.
+
+    Args:
+      image: HWC float or uint8 array (any channel count; RGB expected).
+      wire_dtype: dtype of the padded output — ``np.float32`` (values in
+        [0, 1], the default) or ``np.uint8`` (raw bytes; the device program
+        normalizes from bytes). uint8 is the serving wire format: 4x fewer
+        host→device bytes per request.
+
+    Returns:
+      (padded HWC array in ``wire_dtype``, resized (h, w) before padding,
+       original (h, w)).
+    """
+    resized, (new_h, new_w), (orig_h, orig_w), (pad_h, pad_w) = resize_for_bucket(
+        image, min_size, max_size, wire_dtype=wire_dtype
+    )
+    out = np.zeros((pad_h, pad_w, resized.shape[2]), resized.dtype)
     out[:new_h, :new_w] = resized
     return out, (new_h, new_w), (orig_h, orig_w)
 

@@ -186,7 +186,10 @@ def make_split_forward(module, mesh: Mesh, *, gather_spec: Optional[P] = P("data
     std = jnp.asarray(module.std, jnp.float32)
 
     def forward(variables, images, return_levels: bool = True):
-        x = (images.astype(jnp.float32) - mean) / std
+        # uint8 wire: fold /255 into the constants (models.retinanet does
+        # the same) so bytes normalize in one fused op.
+        m, s = (mean * 255.0, std * 255.0) if images.dtype == jnp.uint8 else (mean, std)
+        x = (images.astype(jnp.float32) - m) / s
         bvars = {"params": variables["params"]["backbone"]}
         if "batch_stats" in variables:
             bvars["batch_stats"] = variables["batch_stats"]["backbone"]

@@ -390,3 +390,101 @@ class TestLoaderUint8Wire:
             b8["images"].astype(np.float32) / 255.0, bf["images"], atol=1 / 255
         )
         np.testing.assert_array_equal(b8["boxes"], bf["boxes"])
+
+
+class TestKeepBytesChain:
+    """Round-5 byte-preserving pipeline: keep_bytes + image_dtype='auto'."""
+
+    def test_keep_bytes_geometric_chain_stays_uint8(self):
+        tfms = build_transforms(
+            [{"class_name": "HorizontalFlip", "params": {"p": 1.0}}],
+            keep_bytes=True,
+        )
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out, _, _ = tfms(img, np.zeros((0, 4), np.float32), np.zeros(0, np.int64))
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, img[:, ::-1])
+
+    def test_keep_bytes_photometric_chain_keeps_tofloat(self):
+        tfms = build_transforms(
+            [
+                {"class_name": "HorizontalFlip", "params": {"p": 0.0}},
+                {"class_name": "RandomBrightnessContrast", "params": {"p": 0.0}},
+            ],
+            keep_bytes=True,
+        )
+        img = np.full((4, 4, 3), 128, np.uint8)
+        out, _, _ = tfms(img, np.zeros((0, 4), np.float32), np.zeros(0, np.int64))
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, 128 / 255.0)
+
+    def test_keep_bytes_flip_matches_float_path_exactly(self):
+        """flip(u8)/255 == flip(u8/255): the byte chain is exact for
+        geometric transforms (loader 'auto' wire soundness)."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (8, 10, 3), np.uint8)
+        boxes = np.asarray([[1.0, 1.0, 5.0, 6.0]], np.float32)
+        labels = np.asarray([2], np.int64)
+        byte_chain = build_transforms(
+            [{"class_name": "HorizontalFlip", "params": {"p": 1.0}}],
+            keep_bytes=True,
+        )
+        float_chain = build_transforms(
+            [{"class_name": "HorizontalFlip", "params": {"p": 1.0}}]
+        )
+        ob, bb, _ = byte_chain(img, boxes.copy(), labels, np.random.default_rng(0))
+        of, bf, _ = float_chain(img, boxes.copy(), labels, np.random.default_rng(0))
+        np.testing.assert_array_equal(ob.astype(np.float32) / 255.0, of)
+        np.testing.assert_array_equal(bb, bf)
+
+    def test_auto_wire_resolves_per_chain(self, tmp_path):
+        import cv2
+
+        img = np.random.default_rng(0).integers(0, 256, (100, 80, 3), np.uint8)
+        path = str(tmp_path / "im.png")
+        cv2.imwrite(path, img)
+        csv = str(tmp_path / "ds.csv")
+        pd.DataFrame(
+            [{"filename": path, "width": 80, "height": 100, "class": "car",
+              "xmin": 1.0, "ymin": 1.0, "xmax": 20.0, "ymax": 20.0,
+              "labels": 1}]
+        ).to_csv(csv, index=False)
+        kw = dict(min_size=64, max_size=96, num_workers=1)
+
+        byte_ds = PascalDataset(csv, transforms=build_transforms(
+            [{"class_name": "HorizontalFlip", "params": {"p": 0.0}}],
+            keep_bytes=True,
+        ))
+        b = next(iter(DetectionLoader(byte_ds, 1, image_dtype="auto", **kw)))
+        assert b["images"].dtype == np.uint8
+
+        float_ds = PascalDataset(csv, transforms=build_transforms(None))
+        f = next(iter(DetectionLoader(float_ds, 1, image_dtype="auto", **kw)))
+        assert f["images"].dtype == np.float32
+        np.testing.assert_allclose(
+            b["images"].astype(np.float32) / 255.0, f["images"], atol=1 / 255
+        )
+
+    def test_single_pad_collate_matches_resize_to_bucket(self, tmp_path):
+        """The collate-time pad writes exactly what the old per-sample
+        resize_to_bucket pad produced."""
+        import cv2
+
+        from pytorch_retinanet_tpu.models.retinanet import resize_to_bucket
+
+        img = np.random.default_rng(1).integers(0, 256, (90, 70, 3), np.uint8)
+        path = str(tmp_path / "im.png")
+        cv2.imwrite(path, img)
+        csv = str(tmp_path / "ds.csv")
+        pd.DataFrame(
+            [{"filename": path, "width": 70, "height": 90, "class": "car",
+              "xmin": 1.0, "ymin": 1.0, "xmax": 20.0, "ymax": 20.0,
+              "labels": 1}]
+        ).to_csv(csv, index=False)
+        ds = PascalDataset(csv, transforms=build_transforms(None))
+        batch = next(iter(DetectionLoader(
+            ds, 1, min_size=64, max_size=96, num_workers=1
+        )))
+        image, _, _ = ds[0]
+        padded, _, _ = resize_to_bucket(image, 64, 96)
+        np.testing.assert_array_equal(batch["images"][0], padded)

@@ -1,4 +1,4 @@
-"""Host input-pipeline cost: per-image ms for decode -> resize -> collate.
+"""Host input-pipeline cost: per-image ms, per-STAGE attributed (v2).
 
 The device side is measured (bench.py: ~215 img/s/chip inference at 800px,
 tools/bench_train.py: ~60 img/s/chip training); this closes the remaining
@@ -6,18 +6,29 @@ unmeasured production axis — what the HOST must sustain to keep a chip fed.
 The reference never measures this either (its DataLoader workers are
 configured blind, hparams.yaml:43-46).
 
-Stages timed on synthetic COCO-sized JPEGs (640x480, the val2017 modal
-size; JPEG quality 90):
+Round-4 verdict: LOADER.json's 13.8 ms/img `sample_prep` was unattributed
+(decode alone was 2.1 — what were the other 11.7?). v2 times every stage
+individually on the same synthetic COCO-sized JPEGs (640x480, val2017 modal
+size, JPEG q90):
 
-  decode      cv2.imread + BGR->RGB           (data/pascal.py:load_image)
-  sample      decode + aug + resize-to-bucket + GT pad  (loader._load_sample)
-  pipeline    full DetectionLoader iteration incl. collate + prefetch queue
-              (measured for BOTH image dtypes: float32 and the uint8 wire
-              format, which skips the f32 convert + 4x the memcpy bytes)
+  decode        cv2.imread + BGR->RGB               (data/pascal.py:load_image)
+  tofloat       u8 -> f32/255 at source size        (transforms.ToFloat)
+  flip_f32/u8   HorizontalFlip p=1 on each dtype    (transforms.HorizontalFlip)
+  resize_f32/u8 cv2.resize to the 800 bucket scale  (models.resize_for_bucket)
+  pad_f32/u8    full-bucket zeros + frame write     (the collate buffer)
+  targets       box rescale + pad_targets           (loader._load_sample tail)
 
-Writes LOADER.json and prints one JSON line. The `implied_cores`
-numbers are per-image host cost x measured device rate: how many host cores
-a production deployment needs per chip (TPU-VM hosts ship 100+ vCPUs; this
+plus the three shipped end-to-end pipelines:
+
+  full_pipeline          float pipeline (ToFloat-first chain, f32 wire)
+  full_pipeline_uint8    transform-less byte pipeline (u8 wire)
+  full_pipeline_train    the TRAINING DEFAULT since round 5: keep_bytes
+                         geometric chain (HorizontalFlip on bytes) + "auto"
+                         wire -> uint8 end-to-end (engine/model.py)
+
+Writes LOADER.json and prints one JSON line. The `implied_cores` numbers
+are per-image host cost x measured device rate: how many host cores a
+production deployment needs per chip (TPU-VM hosts ship 100+ vCPUs; this
 container has 1, so the bench reports COST, not achievable throughput —
 decode/resize are cv2 C++ loops that release the GIL, so thread workers
 scale them across real cores).
@@ -37,9 +48,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Device rates this host must feed (measured: BENCH_r02/TRAIN_BENCH on v5e).
-DEVICE_INFER_IMG_S = 215.7
-DEVICE_TRAIN_IMG_S = 60.6
+# Device rates this host must feed (measured: BENCH_r04/TRAIN_BENCH on v5e).
+DEVICE_INFER_IMG_S = 215.6
+DEVICE_TRAIN_IMG_S = 57.9
 
 
 def make_dataset(root: str, n: int) -> str:
@@ -90,8 +101,17 @@ def main() -> None:
     ap.add_argument("--out", default="LOADER.json")
     args = ap.parse_args()
 
+    import cv2
+
     from pytorch_retinanet_tpu.data import DetectionLoader, PascalDataset
-    from pytorch_retinanet_tpu.data.transforms import Compose, HorizontalFlip, ToFloat
+    from pytorch_retinanet_tpu.data.loader import pad_targets
+    from pytorch_retinanet_tpu.data.transforms import (
+        Compose,
+        HorizontalFlip,
+        ToFloat,
+        build_transforms,
+    )
+    from pytorch_retinanet_tpu.models.retinanet import resize_for_bucket
 
     csv_path = make_dataset("/tmp/loader_bench", args.images)
     ds = PascalDataset(
@@ -99,13 +119,68 @@ def main() -> None:
     )
     n = len(ds)
 
-    # Stage 1: decode only.
-    decode_ms = time_per_image(
-        lambda: [ds.load_image(i) for i in range(n)], n
-    )
+    # ---------- stage attribution on pre-decoded frames ---------- #
+    raw = [ds.load_image(i) for i in range(n)]  # uint8 source frames
+    raw_f32 = [im.astype(np.float32) / 255.0 for im in raw]
+    flip = HorizontalFlip(p=1.0)
+    rngs = [np.random.default_rng(i) for i in range(n)]
+    dummy_boxes = np.asarray([[10, 10, 50, 50]], np.float32)
+    dummy_labels = np.asarray([1], np.int64)
 
-    # Stage 2: full sample prep (decode + aug + resize + target), via the
-    # loader's own per-sample path so the measured code is the shipped code.
+    def bucket_of(im):
+        h0, w0 = im.shape[:2]
+        s = min(args.min_size / min(h0, w0), args.max_size / max(h0, w0))
+        return int(round(w0 * s)), int(round(h0 * s))
+
+    sizes = [bucket_of(im) for im in raw]  # (new_w, new_h)
+
+    stages = {
+        "decode": lambda: [ds.load_image(i) for i in range(n)],
+        "tofloat": lambda: [im.astype(np.float32) / 255.0 for im in raw],
+        "flip_u8": lambda: [
+            flip(im, dummy_boxes, dummy_labels, rngs[i]) for i, im in enumerate(raw)
+        ],
+        "flip_f32": lambda: [
+            flip(im, dummy_boxes, dummy_labels, rngs[i])
+            for i, im in enumerate(raw_f32)
+        ],
+        "resize_u8": lambda: [
+            cv2.resize(im, sizes[i], interpolation=cv2.INTER_LINEAR)
+            for i, im in enumerate(raw)
+        ],
+        "resize_f32": lambda: [
+            cv2.resize(im, sizes[i], interpolation=cv2.INTER_LINEAR)
+            for i, im in enumerate(raw_f32)
+        ],
+        "targets": lambda: [
+            pad_targets(dummy_boxes * 1.25, dummy_labels, 100) for _ in range(n)
+        ],
+    }
+    # full-bucket frame materialization (the collate buffer write)
+    resized_u8 = [
+        cv2.resize(im, sizes[i], interpolation=cv2.INTER_LINEAR)
+        for i, im in enumerate(raw)
+    ]
+    resized_f32 = [
+        cv2.resize(im, sizes[i], interpolation=cv2.INTER_LINEAR)
+        for i, im in enumerate(raw_f32)
+    ]
+    pad_hw = (1344, 1344)  # conservative: max bucket side both ways
+
+    def pad_frames(frames, dtype):
+        out = []
+        for fr in frames:
+            buf = np.zeros((*pad_hw, 3), dtype)
+            buf[: fr.shape[0], : fr.shape[1]] = fr
+            out.append(buf)
+        return out
+
+    stages["pad_u8"] = lambda: pad_frames(resized_u8, np.uint8)
+    stages["pad_f32"] = lambda: pad_frames(resized_f32, np.float32)
+
+    stage_ms = {k: round(time_per_image(v, n), 3) for k, v in stages.items()}
+
+    # ---------- shipped pipelines ---------- #
     loader = DetectionLoader(
         ds, args.batch_size, min_size=args.min_size, max_size=args.max_size,
         num_workers=1, shuffle=False,
@@ -114,8 +189,6 @@ def main() -> None:
         lambda: [loader._load_sample(i) for i in range(n)], n
     )
 
-    # Stage 3: full pipeline (adds collate into pinned fixed-shape arrays +
-    # the prefetch queue machinery) — f32 and the uint8 wire format.
     def drain(ld):
         count = 0
         for batch in ld:
@@ -123,6 +196,7 @@ def main() -> None:
         assert count == n, (count, n)
 
     pipeline_ms = time_per_image(lambda: drain(loader), n)
+
     loader_u8 = DetectionLoader(
         PascalDataset(csv_path),  # no ToFloat: bytes stay bytes end-to-end
         args.batch_size, min_size=args.min_size, max_size=args.max_size,
@@ -130,29 +204,56 @@ def main() -> None:
     )
     pipeline_u8_ms = time_per_image(lambda: drain(loader_u8), n)
 
+    # The round-5 TRAINING DEFAULT: keep_bytes geometric chain + auto wire.
+    train_tfms = build_transforms(
+        [{"class_name": "HorizontalFlip", "params": {"p": 0.5}}],
+        keep_bytes=True,
+    )
+    loader_train = DetectionLoader(
+        PascalDataset(csv_path, transforms=train_tfms),
+        args.batch_size, min_size=args.min_size, max_size=args.max_size,
+        num_workers=1, shuffle=False, image_dtype="auto",
+    )
+    pipeline_train_ms = time_per_image(lambda: drain(loader_train), n)
+    assert loader_train.image_dtype == np.uint8, (
+        "auto wire should resolve to uint8 for the byte-preserving chain"
+    )
+
     result = {
         "images": n,
         "source_size": "640x480 jpeg q90 (COCO val2017 modal)",
         "bucket": f"{args.min_size}/{args.max_size}",
         "per_image_ms": {
-            "decode": round(decode_ms, 3),
+            "decode": stage_ms["decode"],
             "sample_prep": round(sample_ms, 3),
             "full_pipeline": round(pipeline_ms, 3),
             "full_pipeline_uint8": round(pipeline_u8_ms, 3),
+            "full_pipeline_train_default": round(pipeline_train_ms, 3),
         },
+        "stage_attribution_ms": stage_ms,
+        "attribution_note": (
+            "sample_prep (float pipeline) = decode + tofloat + flip_f32/2 "
+            "(p=0.5) + resize_f32 + targets; the remainder is buffer "
+            "alloc/copy. The byte pipeline replaces tofloat+flip_f32+"
+            "resize_f32 with flip_u8+resize_u8 (4x smaller pixels) and the "
+            "round-5 loader pads once in collate instead of per-sample "
+            "(resize_for_bucket), which removed the double full-frame "
+            "materialization."
+        ),
         "single_core_img_per_sec": {
             "float32": round(1e3 / pipeline_ms, 1),
             "uint8": round(1e3 / pipeline_u8_ms, 1),
+            "train_default": round(1e3 / pipeline_train_ms, 1),
         },
         # Host cores per chip = per-image cost x device rate. cv2 decode and
         # resize release the GIL, so DetectionLoader's thread pool spreads
         # this across cores ~linearly until memory bandwidth intervenes.
         "implied_host_cores_per_chip": {
             "inference_at_%.0f_img_s" % DEVICE_INFER_IMG_S: round(
-                pipeline_u8_ms * DEVICE_INFER_IMG_S / 1e3, 2
+                pipeline_train_ms * DEVICE_INFER_IMG_S / 1e3, 2
             ),
             "training_at_%.0f_img_s" % DEVICE_TRAIN_IMG_S: round(
-                pipeline_u8_ms * DEVICE_TRAIN_IMG_S / 1e3, 2
+                pipeline_train_ms * DEVICE_TRAIN_IMG_S / 1e3, 2
             ),
         },
         "note": "cost measurement on a 1-core container; production TPU-VM "
@@ -162,7 +263,7 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"metric": "host_pipeline_per_image_ms",
-                      "value": result["per_image_ms"]["full_pipeline_uint8"],
+                      "value": result["per_image_ms"]["full_pipeline_train_default"],
                       "unit": "ms/image",
                       "detail": result["implied_host_cores_per_chip"]}))
 
