@@ -271,6 +271,36 @@ def process_detections_multilevel(
     own score; used for parity testing against the reference's exhaustive
     per-class thresholds).
     """
+    scores_all, boxes_all, classes_all = multilevel_candidates(
+        cls_levels, box_levels, anchors_levels,
+        pre_nms_top_k=pre_nms_top_k, reg_weights=reg_weights,
+        approx_top_k=approx_top_k,
+    )
+    boxes, top_scores, class_idx, valid = merge_candidates(
+        scores_all, boxes_all, classes_all, image_size,
+        pre_nms_top_k=pre_nms_top_k, score_thres=score_thres,
+    )
+    return _suppress_and_pack(
+        boxes, top_scores, class_idx, valid,
+        nms_thres=nms_thres, max_detections=max_detections,
+        max_coordinate=max_coordinate, use_pallas=use_pallas,
+    )
+
+
+def multilevel_candidates(
+    cls_levels: Sequence[Array],
+    box_levels: Sequence[Array],
+    anchors_levels: Sequence[Array],
+    *,
+    pre_nms_top_k: int = PRE_NMS_TOP_K,
+    reg_weights: Sequence[float] = tuple(BBOX_REG_WEIGHTS),
+    approx_top_k: bool = True,
+):
+    """Stage 1 of the multilevel postprocess: PER-LEVEL candidate selection
+    + decode, before any cross-level merge. Split out so the roofline
+    profiler can cut the full inference program here (DCE truncates the
+    merge/NMS tail). Returns concatenated ([K] logits, [K, 4] boxes,
+    [K] class indices) over all levels, K = sum of per-level k."""
     num_classes = cls_levels[0].shape[-1]
     cand_scores, cand_boxes, cand_classes = [], [], []
     for cls_l, box_l, anc_l in zip(cls_levels, box_levels, anchors_levels):
@@ -336,18 +366,28 @@ def process_detections_multilevel(
     scores_all = jnp.concatenate(cand_scores)  # logits, descending per level
     boxes_all = jnp.concatenate(cand_boxes)
     classes_all = jnp.concatenate(cand_classes)
+    return scores_all, boxes_all, classes_all
+
+
+def merge_candidates(
+    scores_all: Array,
+    boxes_all: Array,
+    classes_all: Array,
+    image_size: Array,
+    *,
+    pre_nms_top_k: int = PRE_NMS_TOP_K,
+    score_thres: float = SCORE_THRES,
+):
+    """Stage 2 of the multilevel postprocess: cross-level top-k merge,
+    sigmoid, clip, validity mask — everything between candidate selection
+    and NMS. Returns (boxes [k,4], scores [k], class_idx [k], valid [k])."""
     k = min(pre_nms_top_k, scores_all.shape[0])
     top_logits, top_idx = jax.lax.top_k(scores_all, k)
     top_scores = jax.nn.sigmoid(top_logits)
     boxes = clip_boxes(boxes_all[top_idx], image_size)
     class_idx = classes_all[top_idx]
-
     valid = (top_scores > score_thres) & small_box_mask(boxes)
-    return _suppress_and_pack(
-        boxes, top_scores, class_idx, valid,
-        nms_thres=nms_thres, max_detections=max_detections,
-        max_coordinate=max_coordinate, use_pallas=use_pallas,
-    )
+    return boxes, top_scores, class_idx, valid
 
 
 def process_detections_multilevel_batch(
