@@ -67,6 +67,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--size", default="800x1344", help="HxW (default production bucket)")
     args = ap.parse_args()
 
     from pytorch_retinanet_tpu.models import RetinaNetModule
@@ -79,7 +80,7 @@ def main() -> None:
         process_detections_multilevel,
     )
 
-    h, w = 800, 1344
+    h, w = (int(v) for v in args.size.split("x"))
     B = args.batch
     module = RetinaNetModule(backbone_kind="resnet50", num_classes=90)
     images0 = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -217,6 +218,7 @@ def main() -> None:
 
     record = {
         "batch": B,
+        "hw": [h, w],
         "backend": jax.default_backend(),
         "fwd_ms": round(stages["fwd"] * 1e3, 2),
         "full_ms": round(stages["fwd+nms"] * 1e3, 2),
