@@ -173,7 +173,10 @@ def match_targets(
       (matches [B, A] int32 with -1 bg / -2 ignore codes,
        fg_labels [B, A] int32 — matched label on foreground anchors, else 0,
        reg_targets [B, A, 4] f32 — encoded on the safe-index gather)
-      — bitwise equal to the XLA composition in ops.losses._loss_sums.
+      — bitwise equal to the XLA composition in ops.losses._loss_sums at
+      the on-chip A/B configs (MATCH_KERNEL_AB.jsonl, bs8/16); on other
+      inputs IoU-tie argmax order can differ in the last f32 ulp of a few
+      reg targets (loss Δ ≤ 6e-8 observed, tools/loss_parity.py bs4).
       All three are parameter-independent; callers should stop_gradient.
     """
     b, n = gt_boxes.shape[0], gt_boxes.shape[1]

@@ -160,7 +160,9 @@ def retinanet_loss_levels(
 
     ``use_match_kernel`` routes the matcher + matched-GT lookup + box
     encoding through the Pallas VMEM kernel (kernels/match_pallas.py) —
-    bitwise-identical targets. Default OFF (round-5 measured negative,
+    targets bitwise-identical at the A/B configs, within ~1 ulp elsewhere
+    (IoU-tie argmax order; see the kernel docstring). Default OFF
+    (round-5 measured negative,
     tools/experiments/MATCH_KERNEL_AB.jsonl): on v5e at 800x1344/90
     classes/100 GT the kernel is +0.3 ms/step at bs16 (fwd 8.45 vs 8.09 ms,
     grad 11.81 vs 11.27, reproduced) and -0.15 ms at bs8 — XLA already

@@ -227,13 +227,23 @@ def main() -> None:
             f"{d['classification_loss'] - oracle['classification_loss']:+.2e} | "
             f"{d['regression_loss'] - oracle['regression_loss']:+.2e} |"
         )
-    lines += [
-        "",
-        f"Kernel path bitwise-equal to XLA path: **{kernel_bitwise}** "
-        "(also proven at production scale on chip: "
-        "tools/experiments/MATCH_KERNEL_AB.jsonl `losses_exactly_equal`).",
-        "",
-    ]
+    kernel_note = (
+        "Kernel path bitwise-equal to XLA path at this config: "
+        f"**{kernel_bitwise}**"
+    )
+    if not kernel_bitwise:
+        kd = max(abs(ours_kernel[k] - ours_xla[k]) for k in ours_xla)
+        kernel_note += (
+            f" (max Δ {kd:.2e} — a different f32 reduction order inside the "
+            "VMEM matcher on IoU ties; the bs8/16 A/B configs match bitwise, "
+            "tools/experiments/MATCH_KERNEL_AB.jsonl `losses_exactly_equal`)"
+        )
+    else:
+        kernel_note += (
+            " (as at the bs8/16 A/B configs, tools/experiments/"
+            "MATCH_KERNEL_AB.jsonl `losses_exactly_equal`)"
+        )
+    lines += ["", kernel_note + ".", ""]
     with open(args.out, "a") as f:
         f.write("\n" + "\n".join(lines))
     print("\n".join(lines))
