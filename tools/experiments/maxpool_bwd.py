@@ -21,9 +21,13 @@ the scatter with shifted compares (all-elementwise, fusible):
          Requires x >= 0 (bitcast of non-negative floats is monotonic);
          the stem pool input is post-relu, so this always holds there.
 
-Each arm is checked against the ``ss`` gradient (key64 must be bitwise
-equal; cmp differs exactly on tied windows, reported). Also times the
-pool+layer1-blocks composite to bound what the full bucket can recover.
+Each arm is checked against the ``ss`` gradient and the mismatch fraction
+reported. MEASURED RESULT (MAXPOOL_BWD.jsonl, v5e): ss backward 9.5 ms,
+cmp 17.4, key64 37.4 — both dense reformulations LOSE (the 9 shifted
+tap-masks re-read the input grid; int64 emulation doubles it), so
+SelectAndScatter stands as best-known. key64's smallest-index tie-break
+also did not reproduce XLA's tie credit on tie-heavy post-relu input
+(33% of positions move) — moot at that speed, kept for the record.
 
 Run on the TPU host: python tools/experiments/maxpool_bwd.py
 Appends one JSON line to tools/experiments/MAXPOOL_BWD.jsonl.
@@ -250,8 +254,9 @@ def main() -> None:
         **times,
         **report,
         "note": "grad_ms includes the forward (value_and_grad); the backward "
-        "cost of each arm is grad_ms - fwd_ms of the SAME arm. key64 must be "
-        "bitwise-equal to ss; cmp differs on tied windows by design.",
+        "cost of each arm is grad_ms - fwd_ms of the SAME arm. cmp differs "
+        "from ss on tied windows by design; key64 targets first-match but "
+        "its smallest-index tie-break did not reproduce XLA's tie credit.",
     }
     out = os.path.join(os.path.dirname(__file__), "MAXPOOL_BWD.jsonl")
     with open(out, "a") as f:
