@@ -77,8 +77,12 @@ def main() -> None:
     x = jnp.asarray(np.random.default_rng(0).random((B, h, w, 3), np.float32))
 
     def per_image_cut(kind):
-        def cut(cls_levels):
-            outs = []
+        def cut(cls_levels, box_levels):
+            # Keep the box subnet LIVE in every cut (sum its outputs):
+            # without this, cls-only cuts let XLA DCE half the head and the
+            # deltas mix select work with box-branch resurrection (the first
+            # run of this script measured fwd+classmax FASTER than fwd).
+            outs = [sum(jnp.sum(b.astype(jnp.float32)) for b in box_levels)]
             for cls_l in cls_levels:
                 a_l = cls_l.shape[0]
                 k = min(PRE_NMS_TOP_K, a_l)
@@ -107,8 +111,10 @@ def main() -> None:
 
     def fused(kind):
         def f(v, im):
-            cls_levels, _ = apply_detector(module, v, im, return_levels=True)
-            return jax.vmap(per_image_cut(kind))(tuple(cls_levels))
+            cls_levels, box_levels = apply_detector(module, v, im, return_levels=True)
+            return jax.vmap(per_image_cut(kind))(
+                tuple(cls_levels), tuple(box_levels)
+            )
 
         return f
 
