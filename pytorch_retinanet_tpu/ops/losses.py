@@ -67,6 +67,14 @@ def sigmoid_focal_loss(
 
     FL(p_t) = -alpha_t * (1 - p_t)^gamma * log(p_t), computed from logits via a
     stable BCE. Returns the unreduced elementwise loss.
+
+    Written the straightforward way ON PURPOSE: a hand-optimized variant
+    sharing one exp/log1p/reciprocal across the sigmoid, the stable BCE and
+    a multiplied-out gamma=2 modulator measured EXACTLY NEUTRAL on chip
+    (standalone per-level loss 8.00 vs 8.09 ms fwd, 11.4 vs 11.3 grad at
+    bs16/800px; in-program loss cut 19.6 ms both ways — round 5). XLA's
+    algebraic simplifier already performs the sharing; keep the readable
+    form.
     """
     # Stable BCE with logits: max(x,0) - x*t + log1p(exp(-|x|))
     bce = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(

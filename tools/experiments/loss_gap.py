@@ -86,13 +86,13 @@ def main() -> None:
     )
     labels = jnp.asarray(rng.integers(1, nc + 1, (B, max_gt)), jnp.int32)
     valid = jnp.asarray(np.arange(max_gt)[None] < n_gt, bool).repeat(B, 0)
-    # Constant focal targets, one per level (host randoms -> jnp constants).
-    tgt_levels = [
-        jnp.asarray(
-            (rng.random((B, a.shape[0], nc)) < 0.01).astype(np.float32)
-        )
+    # Fixed random focal targets, one per level. Passed as ARGUMENTS, not
+    # closure constants: baked-in [B, A_l, C] literals made the remote
+    # compile request exceed its body limit (HTTP 413).
+    tgt_levels = tuple(
+        jnp.asarray((rng.random((B, a.shape[0], nc)) < 0.01).astype(np.float32))
         for a in anchors_levels
-    ]
+    )
 
     def apply_levels(p, im):
         return module.apply(
@@ -105,12 +105,12 @@ def main() -> None:
             jnp.sum(l.astype(jnp.float32)) for l in box_l
         )
 
-    def fwd_focal(p, im):
+    def fwd_focal(p, im, *tgts):
         cls_l, box_l = apply_levels(p, im)
         keep_box = sum(jnp.sum(l.astype(jnp.float32)) for l in box_l)
         f = sum(
             jnp.sum(sigmoid_focal_loss(c.astype(jnp.float32), t))
-            for c, t in zip(cls_l, tgt_levels)
+            for c, t in zip(cls_l, tgts)
         )
         return keep_box + f
 
@@ -130,8 +130,8 @@ def main() -> None:
         return losses["classification_loss"] + losses["regression_loss"]
 
     def with_grad(base):
-        def g(p, im):
-            val, grads = jax.value_and_grad(base)(p, im)
+        def g(p, im, *rest):
+            val, grads = jax.value_and_grad(base)(p, im, *rest)
             gsum = sum(
                 jnp.sum(jnp.abs(l).astype(jnp.float32))
                 for l in jax.tree_util.tree_leaves(grads)
@@ -141,19 +141,20 @@ def main() -> None:
         return g
 
     cuts = {
-        "fwd": fwd,
-        "fwd_focal": fwd_focal,
-        "fwd_match": fwd_match,
-        "fwd_loss": fwd_loss,
+        "fwd": (fwd, (params, x)),
+        "fwd_focal": (fwd_focal, (params, x) + tgt_levels),
+        "fwd_match": (fwd_match, (params, x)),
+        "fwd_loss": (fwd_loss, (params, x)),
     }
     times = {}
-    for name, fn in cuts.items():
-        times[name] = round(time_scalar(fn, params, x, iters=args.iters) * 1e3, 2)
+    for name, (fn, fargs) in cuts.items():
+        times[name] = round(time_scalar(fn, *fargs, iters=args.iters) * 1e3, 2)
         print(f"{name}: {times[name]} ms", flush=True)
     for name in ("fwd", "fwd_focal", "fwd_loss"):
         key = f"grad_{name}"
+        fn, fargs = cuts[name]
         times[key] = round(
-            time_scalar(with_grad(cuts[name]), params, x, iters=args.iters) * 1e3, 2
+            time_scalar(with_grad(fn), *fargs, iters=args.iters) * 1e3, 2
         )
         print(f"{key}: {times[key]} ms", flush=True)
 
