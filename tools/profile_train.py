@@ -156,6 +156,7 @@ def main() -> None:
         ("TOTAL train step", stages["step"], 3 * fwd_fl),
     ]
     lines = [
+        "<!-- TRAIN_TABLE_BEGIN -->",
         "# Train-step roofline — R50-FPN, 800x1344, one chip",
         "",
         f"batch={B}, remat={args.remat}, backend={jax.default_backend()}, "
@@ -178,10 +179,33 @@ def main() -> None:
         "Backward FLOPs are the standard 2x-forward conv estimate (dX + dW).",
         "",
         "Generated by tools/profile_train.py.",
+        "<!-- TRAIN_TABLE_END -->",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # Splice into the marked header region so the hand-written
+    # interpretation sections below it survive re-runs (the pre-round-5
+    # whole-file overwrite nearly clobbered them).
+    section = "\n".join(lines)
+    try:
+        with open(args.out) as f:
+            doc = f.read()
+    except OSError:
+        doc = ""
+    begin, end = "<!-- TRAIN_TABLE_BEGIN -->", "<!-- TRAIN_TABLE_END -->"
+    if begin in doc and end in doc:
+        import re as _re
+
+        doc = _re.sub(
+            _re.escape(begin) + r".*?" + _re.escape(end), section, doc, flags=_re.S
+        )
+    elif doc.startswith("# Train-step roofline"):
+        # Legacy layout: generated header ran until the first section break.
+        head, sep, rest = doc.partition("\n## ")
+        doc = section + ("\n\n## " + rest if sep else "\n")
+    else:
+        doc = section + "\n\n" + doc
     with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(doc)
     print("\n".join(lines[4:]))
     print(json.dumps({"img_per_sec": round(B / stages["step"], 2)}))
 
